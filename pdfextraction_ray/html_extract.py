@@ -1,0 +1,280 @@
+"""Readability-style HTML main-content extraction on the stdlib parser.
+
+This is the capability the north_star adds on top of the reference (which has
+no HTML path): a deterministic DOM boilerplate stripper using text-density +
+link-density scoring with tag/class blocklists, producing ``extracted_text``
+plus character-span lineage, and table extraction from ``<table>`` markup
+(HTML counterpart of the reference's coordinate table extractor,
+reference services/coordinate_table_extractor.py:20-61).
+
+Contract (frozen; golden tests compare byte-for-byte):
+- blocks are emitted in document order, joined by ``"\\n\\n"``
+- a block's text is its own text content with whitespace runs collapsed to a
+  single space and stripped at both ends
+- blocked subtrees (BLOCK_TAGS / BLOCK_CLASS_RE on class or id) emit nothing
+- a block is kept iff it is a heading (h1-h6) with non-empty text, or a text
+  block with >= MIN_TEXT_CHARS chars and link density <= MAX_LINK_DENSITY
+- if one or more <main>/<article> containers exist, only content inside them
+  is considered (earliest such container wins for nesting)
+- spans record (start, end, kind) into extracted_text per emitted block,
+  kind = the block's tag
+
+State (compiled regex, tag sets) is held by :class:`HtmlMainContentExtractor`,
+built once per actor in the parse stage (SURVEY.md §2.3 A1 mapping).
+"""
+
+from __future__ import annotations
+
+import re
+from html.parser import HTMLParser
+from typing import Any, Optional
+
+MIN_TEXT_CHARS = 25
+MAX_LINK_DENSITY = 1.0 / 3.0
+BLOCK_JOIN = "\n\n"
+
+# Subtrees that never contribute content.
+BLOCK_TAGS = frozenset([
+    "script", "style", "noscript", "template", "svg", "iframe", "head",
+    "nav", "header", "footer", "aside", "form", "button", "select", "option",
+])
+# Elements that delimit text blocks.
+PARA_TAGS = frozenset([
+    "p", "li", "pre", "blockquote", "td", "th", "caption", "dd", "dt",
+    "figcaption", "summary",
+])
+HEADING_TAGS = frozenset(["h1", "h2", "h3", "h4", "h5", "h6"])
+CONTAINER_TAGS = frozenset(["main", "article"])
+VOID_TAGS = frozenset([
+    "area", "base", "br", "col", "embed", "hr", "img", "input", "link",
+    "meta", "param", "source", "track", "wbr",
+])
+
+BLOCK_CLASS_RE = re.compile(
+    r"(?:^|[\s_-])(?:nav|menu|sidebar|side-bar|footer|header|comment|comments|"
+    r"promo|ad|ads|advert|advertisement|social|share|sharing|widget|"
+    r"breadcrumb|banner|cookie|popup|modal|related|pagination|pager|"
+    r"disqus|masthead|meta)(?:$|[\s_-])", re.IGNORECASE)
+
+_WS_RE = re.compile(r"\s+")
+
+
+class _Node:
+    __slots__ = ("tag", "blocked", "parent", "texts", "link_chars")
+
+    def __init__(self, tag: str, blocked: bool, parent: Optional["_Node"]):
+        self.tag = tag
+        self.blocked = blocked
+        self.parent = parent
+        self.texts: list[str] = []
+        self.link_chars = 0
+
+
+class _ContentParser(HTMLParser):
+    """Single-pass streaming extraction: maintains an open-element stack;
+    text accumulates into the nearest open paragraph/heading block; closing a
+    block scores and (maybe) emits it."""
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.stack: list[_Node] = []
+        self.blocks: list[tuple[str, str]] = []  # (tag, text)
+        self.block_depth = 0          # depth of blocked subtree
+        self.link_depth = 0           # depth inside <a>
+        self.container_seen = False   # any <main>/<article> encountered
+        self.container_depth = 0
+        self.blocks_in_container: list[tuple[str, str]] = []
+        self.pending_text: list[str] = []     # text outside any para block
+        self.pending_link_chars = 0
+
+    # -- tag events ---------------------------------------------------------
+    def handle_starttag(self, tag: str, attrs: list[tuple[str, Optional[str]]]) -> None:
+        if tag in VOID_TAGS:
+            if tag == "br" and self.stack:
+                self.stack[-1].texts.append(" ")
+            return
+        blocked = self.block_depth > 0 or tag in BLOCK_TAGS
+        if not blocked:
+            attrd = dict(attrs)
+            marker = " ".join(filter(None, [attrd.get("class"), attrd.get("id")]))
+            if marker and BLOCK_CLASS_RE.search(marker):
+                blocked = True
+        if blocked:
+            self.block_depth += 1
+        if tag in CONTAINER_TAGS and not blocked:
+            self.container_seen = True
+            self.container_depth += 1
+        if tag == "a":
+            self.link_depth += 1
+        parent = self.stack[-1] if self.stack else None
+        self.stack.append(_Node(tag, blocked, parent))
+
+    def handle_endtag(self, tag: str) -> None:
+        if tag in VOID_TAGS:
+            return
+        # pop until the matching open tag (tolerates malformed nesting)
+        idx = None
+        for i in range(len(self.stack) - 1, -1, -1):
+            if self.stack[i].tag == tag:
+                idx = i
+                break
+        if idx is None:
+            return
+        while len(self.stack) > idx:
+            self._close_node(self.stack.pop())
+
+    def handle_data(self, data: str) -> None:
+        if self.block_depth > 0 or not data:
+            return
+        if self.stack:
+            self.stack[-1].texts.append(data)
+            if self.link_depth > 0:
+                self.stack[-1].link_chars += len(data.strip())
+
+    # -- close / emit -------------------------------------------------------
+    def _close_node(self, node: _Node) -> None:
+        if node.tag == "a":
+            self.link_depth = max(0, self.link_depth - 1)
+        if node.blocked:
+            self.block_depth = max(0, self.block_depth - 1)
+            return
+        own = "".join(node.texts)
+        if node.tag in PARA_TAGS or node.tag in HEADING_TAGS:
+            text = _WS_RE.sub(" ", own).strip()
+            if text:
+                total = len(text)
+                density = node.link_chars / total if total else 1.0
+                keep = (node.tag in HEADING_TAGS
+                        or (total >= MIN_TEXT_CHARS and density <= MAX_LINK_DENSITY))
+                if keep:
+                    target = (self.blocks_in_container
+                              if self.container_depth > 0 else self.blocks)
+                    target.append((node.tag, text))
+            # consumed — do not propagate to the parent
+        else:
+            if node.parent is not None:
+                node.parent.texts.append(own)
+                node.parent.link_chars += node.link_chars
+            if node.tag in CONTAINER_TAGS:
+                self.container_depth = max(0, self.container_depth - 1)
+
+    def close(self) -> None:  # flush any still-open elements
+        super().close()
+        while self.stack:
+            self._close_node(self.stack.pop())
+
+
+class _TableParser(HTMLParser):
+    """Extract <table> markup into {table_name, headers, rows} structures.
+
+    Headers come from the first row's <th> (or <td> when no <th> exists);
+    rows are lists of cell texts aligned to the header count (padded with
+    None / truncated). table_name is ``table_<i>`` in document order, or the
+    <caption> text when present.
+    """
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.tables: list[dict[str, Any]] = []
+        self._in_table = 0
+        self._rows: list[list[str]] = []
+        self._row: Optional[list[str]] = None
+        self._cell: Optional[list[str]] = None
+        self._caption: Optional[list[str]] = None
+        self._header_row: Optional[list[str]] = None
+        self._row_is_header = False
+
+    def handle_starttag(self, tag: str, attrs: list) -> None:
+        if tag == "table":
+            self._in_table += 1
+            if self._in_table == 1:
+                self._rows, self._header_row, self._caption = [], None, None
+        elif self._in_table:
+            if tag == "tr":
+                self._row, self._row_is_header = [], False
+            elif tag in ("td", "th"):
+                self._cell = []
+                if tag == "th":
+                    self._row_is_header = True
+            elif tag == "caption":
+                self._caption = []
+
+    def handle_endtag(self, tag: str) -> None:
+        if not self._in_table:
+            return
+        if tag in ("td", "th") and self._cell is not None and self._row is not None:
+            self._row.append(_WS_RE.sub(" ", "".join(self._cell)).strip())
+            self._cell = None
+        elif tag == "tr" and self._row is not None:
+            if self._row_is_header and self._header_row is None:
+                self._header_row = self._row
+            else:
+                self._rows.append(self._row)
+            self._row = None
+        elif tag == "caption":
+            pass
+        elif tag == "table":
+            self._in_table -= 1
+            if self._in_table == 0:
+                headers = self._header_row
+                if headers is None and self._rows:
+                    headers = self._rows.pop(0)
+                if headers:
+                    ncol = len(headers)
+                    rows = [(r + [None] * ncol)[:ncol] for r in self._rows]
+                    name = (_WS_RE.sub(" ", "".join(self._caption)).strip()
+                            if self._caption else f"table_{len(self.tables) + 1}")
+                    self.tables.append({"table_name": name, "headers": headers,
+                                        "rows": rows})
+
+    def handle_data(self, data: str) -> None:
+        if self._cell is not None:
+            self._cell.append(data)
+        elif self._caption is not None:
+            self._caption.append(data)
+
+
+class HtmlMainContentExtractor:
+    """Warmed-state extractor: compile-once config, called per document.
+
+    Returns ``{"extracted_text", "spans", "blocks", "tables"}`` where spans
+    are (start, end, kind) offsets into extracted_text.
+    """
+
+    def __init__(self, min_text_chars: int = MIN_TEXT_CHARS,
+                 max_link_density: float = MAX_LINK_DENSITY):
+        self.min_text_chars = min_text_chars
+        self.max_link_density = max_link_density
+
+    def extract(self, html: str) -> dict[str, Any]:
+        parser = _ContentParser()
+        try:
+            parser.feed(html)
+            parser.close()
+        except Exception:
+            pass  # malformed markup: keep whatever was emitted before the error
+        blocks = (parser.blocks_in_container
+                  if parser.container_seen and parser.blocks_in_container
+                  else parser.blocks)
+        pieces: list[str] = []
+        spans: list[dict[str, Any]] = []
+        pos = 0
+        for tag, text in blocks:
+            if pieces:
+                pos += len(BLOCK_JOIN)
+            pieces.append(text)
+            spans.append({"start": pos, "end": pos + len(text), "kind": tag})
+            pos += len(text)
+        tp = _TableParser()
+        try:
+            tp.feed(html)
+            tp.close()
+        except Exception:
+            pass
+        return {"extracted_text": BLOCK_JOIN.join(pieces), "spans": spans,
+                "blocks": blocks, "tables": tp.tables}
+
+
+def extract_main_content(html: str) -> dict[str, Any]:
+    """One-shot convenience wrapper (tests / small scripts)."""
+    return HtmlMainContentExtractor().extract(html)

@@ -1,0 +1,62 @@
+"""The flagship extraction pipeline: read -> parse (actor pool) -> envelope.
+
+Streaming end-to-end: the ``html`` binary column exists only between the read
+and the parse stage; everything downstream is the narrow envelope. Callers
+consume with ``write_parquet`` / ``iter_batches`` / aggregates — never
+``take_all`` on the full corpus.
+
+``ray.init`` is owned by the caller (driver contract).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Union
+
+import ray.data
+
+from ..stages.parse import DocumentParser
+
+DEFAULT_BATCH_SIZE = 64
+
+
+def parse_pages(ds: "ray.data.Dataset", *,
+                batch_size: int = DEFAULT_BATCH_SIZE,
+                concurrency: Optional[Union[int, tuple[int, int]]] = None,
+                min_text_chars: int = 25) -> "ray.data.Dataset":
+    """Apply the DocumentParser actor pool to a pages Dataset.
+
+    ``concurrency=None`` lets Ray autoscale the pool to available CPUs (the
+    right default on a shared cluster); pass an explicit ``(min, max)`` when
+    co-scheduling with other stages. ``batch_size`` is small because rows are
+    wide (binary payloads) — batch x payload must fit the worker heap.
+    """
+    kwargs = {}
+    if concurrency is not None:
+        kwargs["concurrency"] = concurrency
+    return ds.map_batches(
+        DocumentParser,
+        fn_constructor_kwargs={"min_text_chars": min_text_chars},
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=batch_size,
+        **kwargs,
+    )
+
+
+def read_pages(paths: Union[str, list[str]], *, columns: Optional[list[str]] = None,
+               override_num_blocks: Optional[int] = None) -> "ray.data.Dataset":
+    """Read a pages corpus. All five envelope input columns are needed by the
+    parse stage, so no pruning by default; pass ``columns`` for partial runs."""
+    kwargs = {}
+    if override_num_blocks is not None:
+        kwargs["override_num_blocks"] = override_num_blocks
+    return ray.data.read_parquet(paths, columns=columns, **kwargs)
+
+
+def extract_pipeline(paths: Union[str, list[str]], *,
+                     batch_size: int = DEFAULT_BATCH_SIZE,
+                     concurrency: Optional[Union[int, tuple[int, int]]] = None,
+                     ) -> "ray.data.Dataset":
+    """read_parquet -> DocumentParser actor pool. Lazy; caller consumes."""
+    return parse_pages(read_pages(paths), batch_size=batch_size,
+                       concurrency=concurrency)

@@ -1,0 +1,172 @@
+"""The flagship parse stage: one actor-pool ``map_batches`` transform that
+turns raw page rows (url, warc_ts, html-binary, text, lang) into the fixed
+Arrow output envelope (SURVEY.md §7.1).
+
+Design notes (Ray-Data-first):
+- Stateful actor class: payload decoders, the HTML extractor (compiled
+  regexes/blocklists) and parser config are built once per actor in
+  ``__init__`` (SURVEY §2.3 A1), then applied per batch in ``__call__``.
+- ``batch_format="pyarrow"`` + ``zero_copy_batch=True``: the wide ``html``
+  binary column is read zero-copy from the object store and *dropped* here —
+  it never flows past this stage (SURVEY §7.5 memory note).
+- Per-row failures are captured as ``parse_ok=False`` + ``parse_error`` rows
+  (the reference's fallback-response policy, services/openai_service.py:159-197
+  — never kill the batch); counters ride as columns for the job-level
+  aggregate (SURVEY §2.5 G10).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import pyarrow as pa
+
+from .. import extract as X
+from .. import geometry as G
+from ..html_extract import HtmlMainContentExtractor
+from ..payload import KIND_HTML, KIND_WORDS, decode_html, decode_words, payload_kind
+
+SCHEMA_TYPE = pa.struct([
+    ("form_fields", pa.list_(pa.string())),
+    ("tables", pa.list_(pa.struct([("table_name", pa.string()),
+                                   ("headers", pa.list_(pa.string()))]))),
+    ("field_type", pa.string()),
+])
+FIELDS_TYPE = pa.list_(pa.struct([("name", pa.string()), ("value", pa.string())]))
+TABLES_TYPE = pa.list_(pa.struct([
+    ("table_name", pa.string()),
+    ("headers", pa.list_(pa.string())),
+    ("rows", pa.list_(pa.list_(pa.string()))),
+]))
+SPANS_TYPE = pa.list_(pa.struct([("start", pa.int64()), ("end", pa.int64()),
+                                 ("kind", pa.string())]))
+
+ENVELOPE_SCHEMA = pa.schema([
+    ("url", pa.string()),
+    ("warc_ts", pa.timestamp("us")),
+    ("lang", pa.string()),
+    ("doc_kind", pa.string()),
+    ("classification", pa.string()),
+    ("class_confidence", pa.float32()),
+    ("schema", SCHEMA_TYPE),
+    ("extracted_text", pa.string()),
+    ("fields", FIELDS_TYPE),
+    ("tables", TABLES_TYPE),
+    ("spans", SPANS_TYPE),
+    ("parse_ok", pa.bool_()),
+    ("parse_error", pa.string()),
+    ("n_words", pa.int32()),
+    ("bytes_in", pa.int64()),
+    ("bytes_out", pa.int64()),
+])
+
+
+def _rows_to_lists(rows: list[dict[str, Optional[str]]],
+                   headers: list[str]) -> list[list[Optional[str]]]:
+    return [[r.get(h) for h in headers] for r in rows]
+
+
+class DocumentParser:
+    """Actor-pool parser for both payload kinds.
+
+    HTML pages go through the readability-style stripper; word pages go
+    through the byte-exact spatial formatter plus the deterministic
+    step-1/2/3 analogues. Unknown payloads produce a parse_ok=False row.
+    """
+
+    def __init__(self, min_text_chars: int = 25,
+                 proximity_multiplier: float = G.PROXIMITY_MULTIPLIER):
+        self.html = HtmlMainContentExtractor(min_text_chars=min_text_chars)
+        self.proximity_multiplier = proximity_multiplier
+
+    # -- per-document parsers ----------------------------------------------
+    def _parse_words(self, payload: bytes) -> dict[str, Any]:
+        words = decode_words(payload)
+        text = G.preprocess_document(words)
+        step1 = X.classify_structure(words)
+        schema = X.infer_schema(words)
+        step3 = X.extract_data(words, schema)
+        # span lineage: one span per formatted line of the byte-exact text
+        spans = []
+        pos = 0
+        for ln in text.split(G.LINE_JOIN) if text else []:
+            spans.append({"start": pos, "end": pos + len(ln), "kind": "line"})
+            pos += len(ln) + len(G.LINE_JOIN)
+        return {
+            "doc_kind": KIND_WORDS,
+            "classification": step1["classification"],
+            "class_confidence": step1["confidence"],
+            "schema": schema,
+            "extracted_text": text,
+            "fields": [{"name": k, "value": v}
+                       for k, v in step3["extracted_data"].items()],
+            "tables": [{"table_name": t["table_name"], "headers": t["headers"],
+                        "rows": _rows_to_lists(t["rows"], t["headers"])}
+                       for t in step3["table_data"]],
+            "spans": spans,
+            "n_words": len(words),
+        }
+
+    def _parse_html(self, payload: bytes) -> dict[str, Any]:
+        html = decode_html(payload)
+        res = self.html.extract(html)
+        tables = res["tables"]
+        n_paras = sum(1 for s in res["spans"] if s["kind"] not in
+                      ("h1", "h2", "h3", "h4", "h5", "h6"))
+        cls = ("table" if tables and not n_paras else
+               "mixed" if tables else "form" if not res["extracted_text"] else "article")
+        return {
+            "doc_kind": KIND_HTML,
+            "classification": cls,
+            "class_confidence": 0.9 if res["extracted_text"] else 0.3,
+            "schema": {"form_fields": [],
+                       "tables": [{"table_name": t["table_name"],
+                                   "headers": t["headers"]} for t in tables],
+                       "field_type": cls},
+            "extracted_text": res["extracted_text"],
+            "fields": [],
+            "tables": [{"table_name": t["table_name"], "headers": t["headers"],
+                        "rows": t["rows"]} for t in tables],
+            "spans": res["spans"],
+            "n_words": len(res["extracted_text"].split()),
+        }
+
+    # -- batch transform ----------------------------------------------------
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        urls = batch.column("url")
+        ts = batch.column("warc_ts")
+        langs = batch.column("lang")
+        payloads = batch.column("html")
+        out: dict[str, list] = {name: [] for name in ENVELOPE_SCHEMA.names}
+        for i in range(batch.num_rows):
+            payload = payloads[i].as_py()
+            bytes_in = len(payload) if payload else 0
+            try:
+                kind = payload_kind(payload) if payload else "empty"
+                if kind == KIND_WORDS:
+                    rec = self._parse_words(payload)
+                elif kind == KIND_HTML:
+                    rec = self._parse_html(payload)
+                else:
+                    raise ValueError(f"unknown payload kind {payload[:4]!r}"
+                                     if payload else "empty payload")
+                rec["parse_ok"] = True
+                rec["parse_error"] = None
+            except Exception as exc:  # per-row failure capture, never batch-fatal
+                rec = {"doc_kind": "error", "classification": "unknown",
+                       "class_confidence": 0.0,
+                       "schema": {"form_fields": [], "tables": [],
+                                  "field_type": "unknown"},
+                       "extracted_text": "", "fields": [], "tables": [],
+                       "spans": [], "n_words": 0,
+                       "parse_ok": False, "parse_error": f"{type(exc).__name__}: {exc}"}
+            rec["url"] = urls[i].as_py()
+            rec["warc_ts"] = ts[i].as_py()
+            rec["lang"] = langs[i].as_py()
+            rec["bytes_in"] = bytes_in
+            rec["bytes_out"] = len(rec["extracted_text"].encode("utf-8"))
+            for name in ENVELOPE_SCHEMA.names:
+                out[name].append(rec[name])
+        arrays = [pa.array(out[name], type=ENVELOPE_SCHEMA.field(name).type)
+                  for name in ENVELOPE_SCHEMA.names]
+        return pa.Table.from_arrays(arrays, schema=ENVELOPE_SCHEMA)
