@@ -1,0 +1,605 @@
+"""Operator registry: every SURVEY §2 capability expressed as a Ray Data
+pipeline over the driver testdata, each with (where SQL-expressible) a DuckDB
+oracle carrying IDENTICAL column names — the driver hash-compares values after
+sorting columns by name.
+
+Conventions (hash-compare safety):
+- float aggregate outputs are rounded half-away-from-zero to 4 digits on BOTH
+  sides (pyarrow round_mode="half_away_from_zero" == DuckDB ROUND)
+- counts/lengths are int64 on both sides
+- every pipeline streams: aggregates/top-k are the only driver materializations
+
+Each query function takes ``sf_dir`` and returns a Dataset / pyarrow Table /
+pandas DataFrame. ``ray.init`` is owned by the caller.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Callable, Optional
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+import ray
+import ray.data as rd
+from ray.data.aggregate import Count, Max, Min, Sum
+
+from .functions import dedup as D
+from .functions import text as TX
+from .functions.similarity import brute_force_topk, lsh_topk
+from .pipelines.extract_pipeline import parse_pages
+
+
+def _p(sf_dir: str, table: str) -> str:
+    return os.path.join(sf_dir, f"{table}.parquet")
+
+
+def _round4(table: pa.Table, cols: list[str]) -> pa.Table:
+    for c in cols:
+        idx = table.schema.get_field_index(c)
+        table = table.set_column(
+            idx, c, pc.round(table.column(c), ndigits=4,
+                             round_mode="half_towards_infinity"))
+    return table
+
+
+# ---------------------------------------------------------------------------
+# G2-style grouped aggregation with partial (combiner) pre-aggregation:
+# TPC-H-Q1-shaped pricing summary (SURVEY §2.5 mapping of cost_tracker.py:71-106)
+# ---------------------------------------------------------------------------
+
+def _q1_partial(batch: pa.Table) -> pa.Table:
+    """Per-batch combiner: collapse the batch to one row per group before the
+    shuffle (SURVEY §4 skew note: the groupby then moves ~6 rows per batch,
+    not 60k)."""
+    df = batch.to_pandas()
+    df = df[df["l_shipdate"] <= pd.Timestamp("1998-09-02")]
+    if df.empty:
+        return pa.Table.from_pydict(
+            {c: [] for c in ["l_returnflag", "l_linestatus", "sum_qty",
+                             "sum_base_price", "sum_disc_price", "sum_charge",
+                             "sum_disc", "n"]})
+    df["disc_price"] = df["l_extendedprice"] * (1 - df["l_discount"])
+    df["charge"] = df["disc_price"] * (1 + df["l_tax"])
+    g = df.groupby(["l_returnflag", "l_linestatus"], as_index=False).agg(
+        sum_qty=("l_quantity", "sum"), sum_base_price=("l_extendedprice", "sum"),
+        sum_disc_price=("disc_price", "sum"), sum_charge=("charge", "sum"),
+        sum_disc=("l_discount", "sum"), n=("l_quantity", "size"))
+    g["n"] = g["n"].astype("int64")
+    return pa.Table.from_pandas(g, preserve_index=False)
+
+
+def q_pricing_summary(sf_dir: str) -> pa.Table:
+    ds = rd.read_parquet(
+        _p(sf_dir, "lineitem"),
+        columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice",
+                 "l_discount", "l_tax", "l_shipdate"])
+    partial = ds.map_batches(_q1_partial, batch_format="pyarrow", batch_size=65536)
+    agg = partial.groupby(["l_returnflag", "l_linestatus"]).aggregate(
+        Sum("sum_qty", alias_name="sum_qty"),
+        Sum("sum_base_price", alias_name="sum_base_price"),
+        Sum("sum_disc_price", alias_name="sum_disc_price"),
+        Sum("sum_charge", alias_name="sum_charge"),
+        Sum("sum_disc", alias_name="sum_disc"),
+        Sum("n", alias_name="count_order"))
+    t = pa.Table.from_pandas(agg.to_pandas(), preserve_index=False)
+    n = pc.cast(t.column("count_order"), pa.float64())
+    t = t.append_column("avg_qty", pc.divide(t.column("sum_qty"), n))
+    t = t.append_column("avg_price", pc.divide(t.column("sum_base_price"), n))
+    t = t.append_column("avg_disc", pc.divide(t.column("sum_disc"), n))
+    t = t.drop_columns(["sum_disc"])
+    t = _round4(t, ["sum_qty", "sum_base_price", "sum_disc_price", "sum_charge",
+                    "avg_qty", "avg_price", "avg_disc"])
+    return t.sort_by([("l_returnflag", "ascending"), ("l_linestatus", "ascending")])
+
+
+SQL_PRICING = """
+SELECT l_returnflag, l_linestatus,
+       ROUND(SUM(l_quantity), 4)                                        AS sum_qty,
+       ROUND(SUM(l_extendedprice), 4)                                   AS sum_base_price,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 4)                AS sum_disc_price,
+       ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 4)  AS sum_charge,
+       COUNT(*)                                                         AS count_order,
+       ROUND(SUM(l_quantity) / COUNT(*), 4)                             AS avg_qty,
+       ROUND(SUM(l_extendedprice) / COUNT(*), 4)                        AS avg_price,
+       ROUND(SUM(l_discount) / COUNT(*), 4)                             AS avg_disc
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+# ---------------------------------------------------------------------------
+# O3: global top-k by timestamp (storage.py:169-173 "recent documents")
+# ---------------------------------------------------------------------------
+
+def q_top_recent_events(sf_dir: str) -> "rd.Dataset":
+    ds = rd.read_parquet(_p(sf_dir, "events"),
+                         columns=["event_id", "ts", "event_type", "value"])
+    return ds.sort("ts", descending=True).limit(10)
+
+
+SQL_TOP_RECENT = """
+SELECT event_id, ts, event_type, value
+FROM events ORDER BY ts DESC LIMIT 10
+"""
+
+
+# ---------------------------------------------------------------------------
+# G2: per-task usage summary incl. distinct models
+# (cost_tracker.py:71-106 -> events analogue)
+# ---------------------------------------------------------------------------
+
+def q_events_by_type(sf_dir: str) -> pa.Table:
+    ds = rd.read_parquet(_p(sf_dir, "events"),
+                         columns=["event_type", "user_id", "value"])
+    totals = ds.groupby("event_type").aggregate(
+        Count(alias_name="n_events"), Sum("value", alias_name="total_value"))
+    uniq = (ds.groupby(["event_type", "user_id"]).aggregate(Count(alias_name="_c"))
+            .groupby("event_type").aggregate(Count(alias_name="n_users")))
+    out = totals.to_pandas().merge(uniq.to_pandas(), on="event_type")
+    t = pa.Table.from_pandas(out, preserve_index=False)
+    t = t.set_column(t.schema.get_field_index("n_users"), "n_users",
+                     pc.cast(t.column("n_users"), pa.int64()))
+    return _round4(t, ["total_value"]).sort_by("event_type")
+
+
+SQL_EVENTS_BY_TYPE = """
+SELECT event_type, COUNT(*) AS n_events, ROUND(SUM(value), 4) AS total_value,
+       COUNT(DISTINCT user_id) AS n_users
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# G3: time-range filter then grouped aggregate (cost_tracker.py:108-164)
+# ---------------------------------------------------------------------------
+
+def q_events_window(sf_dir: str) -> pa.Table:
+    lo, hi = pd.Timestamp("2024-01-15"), pd.Timestamp("2024-01-22")
+    ds = rd.read_parquet(_p(sf_dir, "events"), columns=["event_type", "ts", "value"])
+    ds = ds.map_batches(
+        lambda t: t.filter(pc.and_(pc.greater_equal(t["ts"], pa.scalar(lo)),
+                                   pc.less(t["ts"], pa.scalar(hi)))),
+        batch_format="pyarrow")
+    agg = ds.groupby("event_type").aggregate(
+        Count(alias_name="n_events"), Sum("value", alias_name="total_value"))
+    t = pa.Table.from_pandas(agg.to_pandas(), preserve_index=False)
+    return _round4(t, ["total_value"]).sort_by("event_type")
+
+
+SQL_EVENTS_WINDOW = """
+SELECT event_type, COUNT(*) AS n_events, ROUND(SUM(value), 4) AS total_value
+FROM events
+WHERE ts >= TIMESTAMP '2024-01-15' AND ts < TIMESTAMP '2024-01-22'
+GROUP BY event_type ORDER BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# Streaming-shaped: tumbling-window aggregate per user (SURVEY §2.10 — the
+# engine's windowed-aggregate addition; events as an ordered log)
+# ---------------------------------------------------------------------------
+
+def q_user_hourly_windows(sf_dir: str) -> pa.Table:
+    us_per_hour = 3_600_000_000
+
+    def add_window(t: pa.Table) -> pa.Table:
+        epoch_us = pc.cast(t["ts"], pa.int64())
+        win = pc.divide(epoch_us, us_per_hour)  # integer division on int64
+        return t.append_column("window_id", pc.cast(win, pa.int64()))
+
+    ds = rd.read_parquet(_p(sf_dir, "events"), columns=["user_id", "ts", "value"])
+    ds = ds.map_batches(add_window, batch_format="pyarrow")
+    agg = ds.groupby(["user_id", "window_id"]).aggregate(
+        Count(alias_name="n_events"), Sum("value", alias_name="sum_value"))
+    t = pa.Table.from_pandas(agg.to_pandas(), preserve_index=False)
+    return _round4(t, ["sum_value"]).sort_by([("user_id", "ascending"),
+                                              ("window_id", "ascending")])
+
+
+SQL_USER_HOURLY = """
+SELECT user_id, CAST(FLOOR(EPOCH(ts) / 3600) AS BIGINT) AS window_id,
+       COUNT(*) AS n_events, ROUND(SUM(value), 4) AS sum_value
+FROM events GROUP BY 1, 2 ORDER BY user_id, window_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# G5/D1: grouped longest-wins merge with deterministic tie-break
+# (result_merger.py:100-118 semantics at corpus scale)
+# ---------------------------------------------------------------------------
+
+def q_merge_longest_wins(sf_dir: str) -> pa.Table:
+    ds = rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "lang", "source", "text"])
+    # narrow immediately: keep the length, drop the text (SURVEY §7.5)
+    ds = ds.map_batches(
+        lambda t: t.append_column("len", pc.cast(pc.utf8_length(t["text"]), pa.int64()))
+                   .drop_columns(["text"]),
+        batch_format="pyarrow")
+
+    def pick(g: pd.DataFrame) -> pd.DataFrame:
+        max_len = g["len"].max()
+        best = g[g["len"] == max_len]["doc_id"].min()
+        return pd.DataFrame({"lang": [g["lang"].iloc[0]], "source": [g["source"].iloc[0]],
+                             "max_len": [max_len], "best_doc_id": [best]})
+
+    out = ds.groupby(["lang", "source"]).map_groups(pick, batch_format="pandas")
+    return pa.Table.from_pandas(out.to_pandas(), preserve_index=False) \
+        .sort_by([("lang", "ascending"), ("source", "ascending")])
+
+
+SQL_MERGE_LONGEST = """
+WITH L AS (SELECT lang, source, doc_id, CAST(LENGTH(text) AS BIGINT) AS len FROM documents),
+M AS (SELECT lang, source, MAX(len) AS max_len FROM L GROUP BY lang, source)
+SELECT M.lang, M.source, M.max_len, MIN(L.doc_id) AS best_doc_id
+FROM M JOIN L ON L.lang = M.lang AND L.source = M.source AND L.len = M.max_len
+GROUP BY M.lang, M.source, M.max_len
+ORDER BY M.lang, M.source
+"""
+
+
+# ---------------------------------------------------------------------------
+# J4: broadcast-small-side joins (customer x nation; lineitem x supplier)
+# ---------------------------------------------------------------------------
+
+class _BroadcastLookup:
+    """Actor stage: small-side mapping fetched from the object store once per
+    actor (``ray.put`` on the driver), applied as a vectorized take."""
+
+    def __init__(self, mapping_ref, key_col: str, out_col: str):
+        self.mapping: dict = ray.get(mapping_ref)
+        self.key_col = key_col
+        self.out_col = out_col
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        keys = t.column(self.key_col).to_pylist()
+        vals = [self.mapping.get(k) for k in keys]
+        return t.append_column(self.out_col, pa.array(vals, pa.string()))
+
+
+def q_customer_nation_balance(sf_dir: str) -> pa.Table:
+    nation = pq.read_table(_p(sf_dir, "nation"), columns=["n_nationkey", "n_name"])
+    mapping = dict(zip(nation.column("n_nationkey").to_pylist(),
+                       nation.column("n_name").to_pylist()))
+    ref = ray.put(mapping)
+    ds = rd.read_parquet(_p(sf_dir, "customer"), columns=["c_nationkey", "c_acctbal"])
+    ds = ds.map_batches(_BroadcastLookup,
+                        fn_constructor_kwargs={"mapping_ref": ref,
+                                               "key_col": "c_nationkey",
+                                               "out_col": "n_name"},
+                        batch_format="pyarrow", concurrency=(1, 4))
+    agg = ds.groupby("n_name").aggregate(
+        Count(alias_name="n_customers"), Sum("c_acctbal", alias_name="total_acctbal"))
+    t = pa.Table.from_pandas(agg.to_pandas(), preserve_index=False)
+    return _round4(t, ["total_acctbal"]).sort_by("n_name")
+
+
+SQL_CUSTOMER_NATION = """
+SELECT n.n_name, COUNT(*) AS n_customers, ROUND(SUM(c.c_acctbal), 4) AS total_acctbal
+FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY n.n_name ORDER BY n.n_name
+"""
+
+
+def q_supplier_volume(sf_dir: str) -> pa.Table:
+    supplier = pq.read_table(_p(sf_dir, "supplier"), columns=["s_suppkey", "s_name"])
+    mapping = dict(zip(supplier.column("s_suppkey").to_pylist(),
+                       supplier.column("s_name").to_pylist()))
+    ref = ray.put(mapping)
+    ds = rd.read_parquet(_p(sf_dir, "lineitem"), columns=["l_suppkey", "l_quantity"])
+    ds = ds.map_batches(_BroadcastLookup,
+                        fn_constructor_kwargs={"mapping_ref": ref,
+                                               "key_col": "l_suppkey",
+                                               "out_col": "s_name"},
+                        batch_format="pyarrow", concurrency=(1, 4))
+    agg = ds.groupby("s_name").aggregate(
+        Count(alias_name="n_items"), Sum("l_quantity", alias_name="sum_qty"))
+    t = pa.Table.from_pandas(agg.to_pandas(), preserve_index=False)
+    return _round4(t, ["sum_qty"]).sort_by("s_name")
+
+
+SQL_SUPPLIER_VOLUME = """
+SELECT s.s_name, COUNT(*) AS n_items, ROUND(SUM(l.l_quantity), 4) AS sum_qty
+FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+GROUP BY s.s_name ORDER BY s.s_name
+"""
+
+
+# ---------------------------------------------------------------------------
+# read-time pruning + filter + aggregate (orders)
+# ---------------------------------------------------------------------------
+
+def q_orders_priority(sf_dir: str) -> pa.Table:
+    ds = rd.read_parquet(
+        _p(sf_dir, "orders"), columns=["o_orderpriority", "o_orderdate", "o_totalprice"],
+        filter=(pc.field("o_orderdate") >= pc.scalar(pd.Timestamp("1996-01-01")))
+        & (pc.field("o_orderdate") < pc.scalar(pd.Timestamp("1997-01-01"))))
+    agg = ds.groupby("o_orderpriority").aggregate(
+        Count(alias_name="n_orders"), Sum("o_totalprice", alias_name="sum_totalprice"))
+    t = pa.Table.from_pandas(agg.to_pandas(), preserve_index=False)
+    return _round4(t, ["sum_totalprice"]).sort_by("o_orderpriority")
+
+
+SQL_ORDERS_PRIORITY = """
+SELECT o_orderpriority, COUNT(*) AS n_orders, ROUND(SUM(o_totalprice), 4) AS sum_totalprice
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
+# ---------------------------------------------------------------------------
+# M6/F1-F4: value-pattern string predicates over documents.text
+# ---------------------------------------------------------------------------
+
+def q_value_patterns(sf_dir: str) -> pa.Table:
+    ds = rd.read_parquet(_p(sf_dir, "documents"), columns=["text"])
+
+    def flags(t: pa.Table) -> pa.Table:
+        col = t["text"]
+        return pa.Table.from_pydict({
+            "n_docs": pa.array([t.num_rows], pa.int64()),
+            "n_with_date": pa.array([pc.sum(pc.cast(TX.matches_regex(col, TX.DATE_PATTERN), pa.int64())).as_py() or 0], pa.int64()),
+            "n_with_phone": pa.array([pc.sum(pc.cast(TX.matches_regex(col, TX.PHONE_PATTERN), pa.int64())).as_py() or 0], pa.int64()),
+            "n_with_ssn": pa.array([pc.sum(pc.cast(TX.matches_regex(col, TX.SSN_PATTERN), pa.int64())).as_py() or 0], pa.int64()),
+            "n_with_table_word": pa.array([pc.sum(pc.cast(TX.matches_regex(col, r"\btable\b"), pa.int64())).as_py() or 0], pa.int64()),
+        })
+
+    partial = ds.map_batches(flags, batch_format="pyarrow")
+    agg = partial.sum(["n_docs", "n_with_date", "n_with_phone", "n_with_ssn",
+                       "n_with_table_word"])
+    return pa.Table.from_pydict({k.replace("sum(", "").replace(")", ""):
+                                 pa.array([v], pa.int64()) for k, v in agg.items()})
+
+
+SQL_VALUE_PATTERNS = r"""
+SELECT COUNT(*) AS n_docs,
+       SUM(CASE WHEN regexp_matches(text, '\d{1,2}/\d{1,2}/\d{4}') THEN 1 ELSE 0 END) AS n_with_date,
+       SUM(CASE WHEN regexp_matches(text, '\d{3}-\d{3}-\d{4}') THEN 1 ELSE 0 END) AS n_with_phone,
+       SUM(CASE WHEN regexp_matches(text, '\d{3}-\d{2}-\d{4}') THEN 1 ELSE 0 END) AS n_with_ssn,
+       SUM(CASE WHEN regexp_matches(text, '\btable\b') THEN 1 ELSE 0 END) AS n_with_table_word
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# token counting / quality scoring (text-analysis additions)
+# ---------------------------------------------------------------------------
+
+def q_token_stats(sf_dir: str) -> pa.Table:
+    ds = rd.read_parquet(_p(sf_dir, "documents"), columns=["lang", "text", "n_chars"])
+    ds = ds.map_batches(
+        lambda t: t.append_column(
+            "n_tokens", pc.cast(TX.token_counts(t["text"]), pa.int64()))
+        .drop_columns(["text"]),
+        batch_format="pyarrow")
+    agg = ds.groupby("lang").aggregate(
+        Count(alias_name="n_docs"), Sum("n_tokens", alias_name="sum_tokens"),
+        Sum("n_chars", alias_name="sum_chars"))
+    return pa.Table.from_pandas(agg.to_pandas(), preserve_index=False).sort_by("lang")
+
+
+SQL_TOKEN_STATS = r"""
+SELECT lang, COUNT(*) AS n_docs,
+       SUM(CAST(LENGTH(regexp_extract_all(text, '\S+')) AS BIGINT)) AS sum_tokens,
+       SUM(n_chars) AS sum_chars
+FROM documents GROUP BY lang ORDER BY lang
+"""
+
+
+def q_quality_filter(sf_dir: str) -> pa.Table:
+    ds = rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    def score(t: pa.Table) -> pa.Table:
+        t = TX.quality_columns(t)
+        keep = pc.and_(pc.greater_equal(t["n_tokens"], pa.scalar(50, pa.int64())),
+                       pc.less_equal(pc.multiply(t["n_punct"], pa.scalar(10, pa.int64())),
+                                     t["n_chars_utf8"]))
+        return t.filter(keep).select(["doc_id", "n_tokens", "n_punct", "n_chars_utf8"])
+
+    out = ds.map_batches(score, batch_format="pyarrow")
+    return pa.Table.from_pandas(out.to_pandas(), preserve_index=False).sort_by("doc_id")
+
+
+SQL_QUALITY_FILTER = r"""
+WITH S AS (SELECT doc_id,
+       CAST(LENGTH(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens,
+       CAST(LENGTH(regexp_extract_all(text, '[.,;:!?]')) AS BIGINT) AS n_punct,
+       CAST(LENGTH(text) AS BIGINT) AS n_chars_utf8
+FROM documents)
+SELECT doc_id, n_tokens, n_punct, n_chars_utf8 FROM S
+WHERE n_tokens >= 50 AND n_punct * 10 <= n_chars_utf8
+ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# D1 at corpus scale: exact dedup via content hash
+# ---------------------------------------------------------------------------
+
+def q_exact_dedup(sf_dir: str) -> pa.Table:
+    ds = rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+    ds = ds.map_batches(lambda t: D.md5_hex_batch(t).drop_columns(["text"]),
+                        batch_format="pyarrow")
+    agg = ds.groupby("text_hash").aggregate(
+        Min("doc_id", alias_name="canonical_doc_id"), Count(alias_name="n_copies"))
+    return pa.Table.from_pandas(agg.to_pandas(), preserve_index=False) \
+        .sort_by("text_hash")
+
+
+SQL_EXACT_DEDUP = """
+SELECT md5(text) AS text_hash, MIN(doc_id) AS canonical_doc_id, COUNT(*) AS n_copies
+FROM documents GROUP BY md5(text) ORDER BY text_hash
+"""
+
+
+# ---------------------------------------------------------------------------
+# similarity search: exact brute-force cosine top-k (oracle via DuckDB
+# list_cosine_similarity); LSH-bucketed ANN as the scale path (no oracle)
+# ---------------------------------------------------------------------------
+
+def _query_vector(sf_dir: str) -> np.ndarray:
+    emb = pq.read_table(_p(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+    idx = emb.column("vec_id").to_pylist().index(0)
+    return np.asarray(emb.column("embedding")[idx].as_py(), dtype=np.float64)
+
+
+def q_embedding_topk(sf_dir: str) -> pa.Table:
+    q = _query_vector(sf_dir)
+    ds = rd.read_parquet(_p(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+    top = brute_force_topk(ds, q, k=10)
+    return top.select(["vec_id"])
+
+
+SQL_EMBEDDING_TOPK = """
+WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+SELECT e.vec_id FROM embeddings e, q
+ORDER BY list_cosine_similarity(e.embedding, q.qe) DESC, e.vec_id ASC
+LIMIT 10
+"""
+
+
+def q_embedding_ann_lsh(sf_dir: str) -> pa.Table:
+    q = _query_vector(sf_dir)
+    ds = rd.read_parquet(_p(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+    return lsh_topk(ds, q, dim=len(q), k=10, n_planes=6).select(["vec_id"])
+
+
+# ---------------------------------------------------------------------------
+# near-dedup: MinHash + LSH banding -> verified Jaccard pairs (no SQL oracle;
+# rows-only check). SimHash / fingerprints / language-ID: deterministic
+# per-doc signatures.
+# ---------------------------------------------------------------------------
+
+def q_minhash_near_dup_pairs(sf_dir: str) -> pa.Table:
+    ds = rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+    hashed = ds.map_batches(D.MinHasher, batch_format="pyarrow",
+                            concurrency=(1, 4),
+                            fn_constructor_kwargs={"num_perm": 64, "n_bands": 16})
+    exploded = hashed.map_batches(
+        lambda t: D.explode_bands(t.select(["doc_id", "bands"])),
+        batch_format="pyarrow")
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        pairs = D.candidate_pairs_from_bucket(g["doc_id"].tolist())
+        return pd.DataFrame({"doc_a": [a for a, _ in pairs],
+                             "doc_b": [b for _, b in pairs]})
+
+    cand = exploded.groupby(["band", "bucket"]).map_groups(
+        bucket_pairs, batch_format="pandas")
+    cand_df = cand.to_pandas().drop_duplicates()
+    if cand_df.empty:
+        return pa.Table.from_pydict({"doc_a": pa.array([], pa.int64()),
+                                     "doc_b": pa.array([], pa.int64()),
+                                     "jaccard": pa.array([], pa.float64())})
+    # verification: fetch only candidate docs' texts (bounded set)
+    wanted = set(cand_df["doc_a"]) | set(cand_df["doc_b"])
+    docs = pq.read_table(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+    texts = {d: t for d, t in zip(docs.column("doc_id").to_pylist(),
+                                  docs.column("text").to_pylist()) if d in wanted}
+    rows = []
+    for a, b in zip(cand_df["doc_a"], cand_df["doc_b"]):
+        j = D.jaccard_ngrams(texts[a], texts[b])
+        if j >= 0.6:
+            rows.append((int(a), int(b), round(j, 4)))
+    rows.sort()
+    return pa.Table.from_pydict({
+        "doc_a": pa.array([r[0] for r in rows], pa.int64()),
+        "doc_b": pa.array([r[1] for r in rows], pa.int64()),
+        "jaccard": pa.array([r[2] for r in rows], pa.float64())})
+
+
+def q_simhash_fingerprints(sf_dir: str) -> pa.Table:
+    ds = rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    def sim(t: pa.Table) -> pa.Table:
+        sims = [D.simhash64(x) for x in t.column("text").to_pylist()]
+        return pa.Table.from_pydict({"doc_id": t["doc_id"],
+                                     "simhash": pa.array(sims, pa.int64())})
+
+    out = ds.map_batches(sim, batch_format="pyarrow")
+    return pa.Table.from_pandas(out.to_pandas(), preserve_index=False).sort_by("doc_id")
+
+
+def q_doc_fingerprints(sf_dir: str) -> pa.Table:
+    ds = rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+    out = ds.map_batches(
+        lambda t: TX.fingerprint_batch(t).drop_columns(["text"]),
+        batch_format="pyarrow")
+    return pa.Table.from_pandas(out.to_pandas(), preserve_index=False).sort_by("doc_id")
+
+
+def q_language_id(sf_dir: str) -> pa.Table:
+    ds = rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+    out = ds.map_batches(
+        lambda t: TX.language_id_batch(t).drop_columns(["text"]),
+        batch_format="pyarrow")
+    return pa.Table.from_pandas(out.to_pandas(), preserve_index=False).sort_by("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# flagship extraction over a deterministic page corpus derived from sf_dir
+# size (rows-only check; byte-identity is covered by the golden pytest suite)
+# ---------------------------------------------------------------------------
+
+def q_extract_pages(sf_dir: str) -> pa.Table:
+    from .fixtures import build_corpus_table
+    n = pq.read_metadata(_p(sf_dir, "documents")).num_rows
+    corpus = rd.from_arrow(build_corpus_table(n, seed=42))
+    parsed = parse_pages(corpus, batch_size=64, concurrency=(1, 4))
+    out = parsed.select_columns(["url", "doc_kind", "classification", "parse_ok",
+                                 "n_words", "bytes_in", "bytes_out"])
+    return pa.Table.from_pandas(out.to_pandas(), preserve_index=False).sort_by("url")
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+
+QUERIES: dict[str, Callable[[str], Any]] = {
+    "pricing_summary": q_pricing_summary,
+    "top_recent_events": q_top_recent_events,
+    "events_by_type": q_events_by_type,
+    "events_window": q_events_window,
+    "user_hourly_windows": q_user_hourly_windows,
+    "merge_longest_wins": q_merge_longest_wins,
+    "customer_nation_balance": q_customer_nation_balance,
+    "supplier_volume": q_supplier_volume,
+    "orders_priority": q_orders_priority,
+    "value_patterns": q_value_patterns,
+    "token_stats": q_token_stats,
+    "quality_filter": q_quality_filter,
+    "exact_dedup": q_exact_dedup,
+    "embedding_topk": q_embedding_topk,
+    "embedding_ann_lsh": q_embedding_ann_lsh,
+    "minhash_near_dup_pairs": q_minhash_near_dup_pairs,
+    "simhash_fingerprints": q_simhash_fingerprints,
+    "doc_fingerprints": q_doc_fingerprints,
+    "language_id": q_language_id,
+    "extract_pages": q_extract_pages,
+}
+
+ORACLES: dict[str, str] = {
+    "pricing_summary": SQL_PRICING,
+    "top_recent_events": SQL_TOP_RECENT,
+    "events_by_type": SQL_EVENTS_BY_TYPE,
+    "events_window": SQL_EVENTS_WINDOW,
+    "user_hourly_windows": SQL_USER_HOURLY,
+    "merge_longest_wins": SQL_MERGE_LONGEST,
+    "customer_nation_balance": SQL_CUSTOMER_NATION,
+    "supplier_volume": SQL_SUPPLIER_VOLUME,
+    "orders_priority": SQL_ORDERS_PRIORITY,
+    "value_patterns": SQL_VALUE_PATTERNS,
+    "token_stats": SQL_TOKEN_STATS,
+    "quality_filter": SQL_QUALITY_FILTER,
+    "exact_dedup": SQL_EXACT_DEDUP,
+    "embedding_topk": SQL_EMBEDDING_TOPK,
+    # embedding_ann_lsh, minhash_near_dup_pairs, simhash_fingerprints,
+    # doc_fingerprints, language_id, extract_pages: not SQL-expressible
+    # (approximate / sketch / parser semantics) -> rows-only driver check.
+}

@@ -1,0 +1,85 @@
+"""Local mirror of the driver's DuckDB-oracle harness: run every query with a
+SQL oracle at sf0.001 and compare row count, column names and
+order-insensitive values (columns sorted by name, rows sorted)."""
+
+import math
+
+import duckdb
+import pandas as pd
+import pytest
+
+SF = "/root/testdata/sf0.001"
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def _to_pandas(obj):
+    if isinstance(obj, pd.DataFrame):
+        return obj
+    if hasattr(obj, "to_pandas"):
+        return obj.to_pandas()
+    raise TypeError(type(obj))
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)]
+    return df.sort_values(by=list(df.columns)).reset_index(drop=True)
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb.connect()
+    for t in TABLES:
+        c.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')")
+    return c
+
+
+def _oracle_pairs():
+    from pdfextraction_ray.queries import ORACLES, QUERIES
+    return [(name, QUERIES[name], ORACLES[name]) for name in ORACLES]
+
+
+@pytest.mark.parametrize("name", [n for n in __import__(
+    "pdfextraction_ray.queries", fromlist=["ORACLES"]).ORACLES])
+def test_query_matches_oracle(name, con, ray_session):
+    from pdfextraction_ray.queries import ORACLES, QUERIES
+    ours = _canon(_to_pandas(QUERIES[name](SF)))
+    theirs = _canon(con.sql(ORACLES[name]).df())
+    assert list(ours.columns) == list(theirs.columns), \
+        f"{name}: columns {list(ours.columns)} vs {list(theirs.columns)}"
+    assert len(ours) == len(theirs), f"{name}: rows {len(ours)} vs {len(theirs)}"
+    for col in ours.columns:
+        a, b = ours[col], theirs[col]
+        if a.dtype.kind == "f" or b.dtype.kind == "f":
+            assert all(math.isclose(x, y, rel_tol=1e-9, abs_tol=1e-9)
+                       for x, y in zip(a, b)), f"{name}.{col} float mismatch"
+        else:
+            assert a.astype(str).tolist() == b.astype(str).tolist(), \
+                f"{name}.{col} mismatch"
+
+
+def test_rows_only_queries_run(ray_session):
+    from pdfextraction_ray.queries import ORACLES, QUERIES
+    for name, fn in QUERIES.items():
+        if name in ORACLES or name == "extract_pages":
+            continue
+        out = _to_pandas(fn(SF))
+        assert out is not None and len(out.columns) > 0, name
+
+
+def test_extract_pages_rows(ray_session):
+    from pdfextraction_ray.queries import QUERIES
+    out = _to_pandas(QUERIES["extract_pages"](SF))
+    assert len(out) == 500
+    assert out["parse_ok"].all()
+
+
+def test_entry_smoke(ray_session):
+    import sys
+    sys.path.insert(0, "/root/repo")
+    import __ray_entry__ as E
+    ds = E.entry()
+    assert ds.count() == 500
+    names = set(ds.schema().names)
+    assert {"url", "extracted_text", "fields", "tables", "spans",
+            "parse_ok"} <= names
