@@ -134,7 +134,7 @@ def gen_word_page(rng: random.Random, n_field_lines: int = 8,
                 x = w["x1"] + 6.0
             y += 16.0
     for _ in range(n_tables):
-        y += 14.0
+        y += 34.0  # leaves a >20pt line gap so consecutive tables stay distinct T7 regions
         headers = rng.choice(TABLE_HEADER_SETS)
         col_step = 110.0
         xs = [40.0 + i * col_step for i in range(len(headers))]
@@ -150,12 +150,16 @@ def gen_word_page(rng: random.Random, n_field_lines: int = 8,
 
 
 def flagship_word_page(seed: int = 43) -> list[dict[str, Any]]:
-    """The big conformance page: ~24 field lines, all 7 table sets — the F3
-    analogue of the reference golden (47 fields / 7 tables / 18 rows scale)."""
+    """The big conformance page — the F3 analogue of the reference golden
+    (47-field / 7-table / 18-row scale): 12 same-line label+value lines (these
+    merge into one cluster under the reference's 2x-avg-gap rule and render
+    ``[EMPTY]`` — faithful), 12 labels in rows of 3 with values beneath (the
+    M9/M12 pairing path, real values), then all 7 table sets separated by
+    >20pt so T7 keeps them distinct regions."""
     rng = random.Random(seed)
     words: list[dict[str, Any]] = []
     y = 36.0
-    for label in FIELD_LABELS:
+    for label in FIELD_LABELS[:12]:
         x = 30.0
         for part in label:
             w = _word(part, x, y)
@@ -164,8 +168,24 @@ def flagship_word_page(seed: int = 43) -> list[dict[str, Any]]:
         if rng.random() < 0.85:
             words.append(_word(_rand_value(rng), x + 25.0, y))
         y += 15.0
+    for group_start in range(12, 24, 3):
+        y += 8.0
+        xs = []
+        x = 30.0
+        for label in FIELD_LABELS[group_start:group_start + 3]:
+            xs.append(x)
+            for part in label:
+                w = _word(part, x, y)
+                words.append(w)
+                x = w["x1"] + 5.0
+            x += 120.0
+        yv = y + 13.0
+        for sx in xs:
+            if rng.random() < 0.8:
+                words.append(_word(_rand_value(rng), sx + 2.0, yv))
+        y += 34.0
     for headers in TABLE_HEADER_SETS:
-        y += 16.0
+        y += 34.0
         xs = [40.0 + i * 110.0 for i in range(len(headers))]
         for h, x in zip(headers, xs):
             words.append(_word(h, x, y))
