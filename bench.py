@@ -1,0 +1,138 @@
+"""Benchmark harness (driver contract).
+
+Plain run: one JSON line with the headline flagship-pipeline wall time plus
+per-query timings over ``$GRAFT_SF_DIR`` (default /root/testdata/sf0.1), in a
+session of ``$RAY_GRAFT_CPUS`` CPUs (default 32).
+
+``--scaling``: runs the same job twice in fresh processes at 8 and 32 CPUs on
+the same input and reports both throughputs + scaling efficiency
+(the sandbox substitute for the N->4N-node criterion — BASELINE.md).
+
+The bench corpus (synthetic pages, FIXTURES.md F1) is generated once into
+/tmp and reused; generation and page-cache warmup are untimed.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+N_DOCS = int(os.environ.get("GRAFT_BENCH_DOCS", "30000"))
+CORPUS_SHARDS = 32
+BENCH_QUERIES = ["pricing_summary", "events_by_type", "top_recent_events",
+                 "exact_dedup", "embedding_topk", "token_stats",
+                 "merge_longest_wins", "minhash_near_dup_pairs"]
+
+
+def ensure_corpus(n_docs: int) -> list[str]:
+    """Generate the deterministic bench corpus (Ray-parallel, cached)."""
+    out_dir = f"/tmp/pdfextraction_ray_bench/pages_n{n_docs}_s42"
+    done = os.path.join(out_dir, "_DONE")
+    if os.path.exists(done):
+        return sorted(glob.glob(os.path.join(out_dir, "*.parquet")))
+    import ray.data as rd
+    from pdfextraction_ray.fixtures import CORPUS_SCHEMA, make_page_row
+    import pyarrow as pa
+    import numpy as np
+    shutil.rmtree(out_dir, ignore_errors=True)
+    os.makedirs(out_dir)
+
+    def gen(batch) -> "pa.Table":
+        rows = [make_page_row(int(i)) for i in batch["id"]]
+        return pa.Table.from_pydict(
+            {"url": [r["url"] for r in rows],
+             "warc_ts": np.array([r["warc_ts"] for r in rows],
+                                 dtype="datetime64[us]"),
+             "html": [r["html"] for r in rows],
+             "text": [r["text"] for r in rows],
+             "lang": [r["lang"] for r in rows]}, schema=CORPUS_SCHEMA)
+
+    (rd.range(n_docs, override_num_blocks=CORPUS_SHARDS)
+       .map_batches(gen, batch_format="pandas", batch_size=2048)
+       .write_parquet(out_dir))
+    with open(done, "w") as f:
+        f.write("ok")
+    return sorted(glob.glob(os.path.join(out_dir, "*.parquet")))
+
+
+def run_bench() -> dict:
+    import ray
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    from ray.data import DataContext
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    ctx.execution_options.verbose_progress = False
+
+    from pdfextraction_ray.pipelines.extract_pipeline import extract_pipeline
+    from pdfextraction_ray.queries import QUERIES
+
+    paths = ensure_corpus(N_DOCS)
+    corpus_bytes = sum(os.path.getsize(p) for p in paths)
+    for p in paths:  # warm the OS page cache (untimed)
+        with open(p, "rb") as f:
+            while f.read(1 << 22):
+                pass
+
+    out_dir = f"/tmp/pdfextraction_ray_bench/out_{NUM_CPUS}"
+    shutil.rmtree(out_dir, ignore_errors=True)
+    t0 = time.perf_counter()
+    ds = extract_pipeline(paths, batch_size=64)
+    ds.write_parquet(out_dir)
+    headline = time.perf_counter() - t0
+
+    q_times: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        tq = time.perf_counter()
+        res = QUERIES[name](SF_DIR)
+        if hasattr(res, "materialize"):
+            res = res.materialize()
+        q_times[name] = round(time.perf_counter() - tq, 3)
+
+    result = {
+        "metric": "flagship_extract_sec",
+        "value": round(headline, 3),
+        "unit": "sec",
+        "queries": q_times,
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+        "bench_docs": N_DOCS,
+        "corpus_mb": round(corpus_bytes / 1e6, 1),
+        "docs_per_sec": round(N_DOCS / headline, 1),
+        "mb_per_sec": round(corpus_bytes / 1e6 / headline, 2),
+    }
+    ray.shutdown()
+    return result
+
+
+def run_scaling() -> dict:
+    def run(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run([sys.executable, os.path.abspath(__file__)],
+                             env=env, capture_output=True, text=True,
+                             check=True).stdout
+        return json.loads(out.strip().splitlines()[-1])
+    lo, hi = run(8), run(32)
+    eff = (lo["value"] / hi["value"]) / (32 / 8)
+    return {
+        "metric": "scaling_efficiency_8_to_32",
+        "value": round(eff, 3),
+        "unit": "ratio",
+        "sec_8": lo["value"], "sec_32": hi["value"],
+        "docs_per_sec_8": lo["docs_per_sec"], "docs_per_sec_32": hi["docs_per_sec"],
+        "bench_docs": lo["bench_docs"], "sf": SF_DIR,
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_bench()))

@@ -25,14 +25,21 @@ def parse_pages(ds: "ray.data.Dataset", *,
                 min_text_chars: int = 25) -> "ray.data.Dataset":
     """Apply the DocumentParser actor pool to a pages Dataset.
 
-    ``concurrency=None`` lets Ray autoscale the pool to available CPUs (the
-    right default on a shared cluster); pass an explicit ``(min, max)`` when
-    co-scheduling with other stages. ``batch_size`` is small because rows are
-    wide (binary payloads) — batch x payload must fit the worker heap.
+    ``concurrency=None`` sizes an autoscaling pool (1, cluster CPUs) — the
+    parse stage is the dominant compute, so it may take every core while the
+    lighter read/write stages interleave; pass an explicit ``(min, max)`` when
+    co-scheduling with other heavy stages. ``batch_size`` is small because
+    rows are wide (binary payloads) — batch x payload must fit the worker
+    heap.
     """
-    kwargs = {}
-    if concurrency is not None:
-        kwargs["concurrency"] = concurrency
+    if concurrency is None:
+        try:
+            import ray
+            ncpu = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+        except Exception:
+            ncpu = 8
+        concurrency = (1, max(2, ncpu))
+    kwargs = {"concurrency": concurrency}
     return ds.map_batches(
         DocumentParser,
         fn_constructor_kwargs={"min_text_chars": min_text_chars},

@@ -1,0 +1,132 @@
+"""Multimodal column stages: opaque ``binary`` payloads + typed metadata,
+processed by actor-pool ``map_batches`` stages.
+
+The image/audio codec libraries are NOT installed in this environment, so the
+decode kernels are STUBS behind try-imports: with PIL/soundfile absent, decode
+raises ``NotImplementedError`` unless ``allow_fake=True``, in which case a
+deterministic fake (seeded by the payload bytes) stands in so the Ray-side
+plumbing — schema, batch shapes, actor lifecycle, output layout — is real and
+tested. Swap the kernel, keep the stage.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Any, Optional
+
+import numpy as np
+import pyarrow as pa
+
+try:  # pragma: no cover - not installed here
+    from PIL import Image  # type: ignore
+    _HAVE_PIL = True
+except ImportError:
+    _HAVE_PIL = False
+
+IMAGE_META_TYPE = pa.struct([("width", pa.int32()), ("height", pa.int32()),
+                             ("channels", pa.int32()), ("format", pa.string())])
+IMAGE_FEATURES_TYPE = pa.list_(pa.float32())
+
+
+def _fake_decode(payload: bytes, max_side: int = 64) -> np.ndarray:
+    """Deterministic stand-in decode: dimensions and pixels derived from the
+    payload digest. Replaces PIL.Image.open in this sandbox."""
+    digest = hashlib.sha256(payload).digest()
+    w = 16 + digest[0] % max_side
+    h = 16 + digest[1] % max_side
+    rng = np.random.RandomState(int.from_bytes(digest[2:6], "little"))
+    return rng.randint(0, 256, size=(h, w, 3), dtype=np.uint8)
+
+
+class ImageDecodeStage:
+    """Actor stage: binary image column -> metadata + mean-channel features.
+
+    Real path (PIL present): decode, optional resize, channel means.
+    Sandbox path: ``allow_fake=True`` uses the deterministic fake; with
+    ``allow_fake=False`` and no PIL the row fails with NotImplementedError
+    captured per-row (decode_ok=False), batch survives.
+    """
+
+    def __init__(self, image_col: str = "image", resize_to: Optional[int] = None,
+                 allow_fake: bool = False):
+        self.image_col = image_col
+        self.resize_to = resize_to
+        self.allow_fake = allow_fake
+
+    def _decode(self, payload: bytes) -> np.ndarray:
+        if _HAVE_PIL:  # pragma: no cover - library absent in this env
+            import io
+            img = Image.open(io.BytesIO(payload)).convert("RGB")
+            if self.resize_to:
+                img = img.resize((self.resize_to, self.resize_to))
+            return np.asarray(img)
+        if self.allow_fake:
+            return _fake_decode(payload)
+        raise NotImplementedError(
+            "image decode requires PIL (not installed); pass allow_fake=True "
+            "for the deterministic stand-in")
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        metas, feats, oks, errs = [], [], [], []
+        for payload in batch.column(self.image_col).to_pylist():
+            try:
+                arr = self._decode(payload or b"")
+                metas.append({"width": arr.shape[1], "height": arr.shape[0],
+                              "channels": arr.shape[2], "format": "rgb8"})
+                feats.append(arr.reshape(-1, arr.shape[2]).mean(axis=0)
+                             .astype(np.float32).tolist())
+                oks.append(True)
+                errs.append(None)
+            except Exception as exc:
+                metas.append(None)
+                feats.append(None)
+                oks.append(False)
+                errs.append(f"{type(exc).__name__}: {exc}")
+        batch = batch.drop_columns([self.image_col])  # wide payload ends here
+        batch = batch.append_column("image_meta", pa.array(metas, IMAGE_META_TYPE))
+        batch = batch.append_column("image_features",
+                                    pa.array(feats, IMAGE_FEATURES_TYPE))
+        batch = batch.append_column("decode_ok", pa.array(oks, pa.bool_()))
+        return batch.append_column("decode_error", pa.array(errs, pa.string()))
+
+
+class FrameSampleStage:
+    """Video-frame sampling plumbing: binary "video" -> every k-th fake frame
+    digest (stub kernel, real fan-out shape: one row in, n rows out)."""
+
+    def __init__(self, video_col: str = "video", every_k: int = 10,
+                 max_frames: int = 8, allow_fake: bool = True):
+        if not allow_fake:
+            raise NotImplementedError("no video codec installed in this env")
+        self.video_col = video_col
+        self.every_k = every_k
+        self.max_frames = max_frames
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, frame_nos, digests = [], [], []
+        id_col = "url" if "url" in batch.column_names else batch.column_names[0]
+        for rid, payload in zip(batch.column(id_col).to_pylist(),
+                                batch.column(self.video_col).to_pylist()):
+            payload = payload or b""
+            n_frames = min(self.max_frames, 1 + len(payload) % self.max_frames)
+            for f in range(n_frames):
+                ids.append(rid)
+                frame_nos.append(f * self.every_k)
+                digests.append(hashlib.sha256(
+                    payload + f.to_bytes(4, "little")).hexdigest()[:16])
+        return pa.Table.from_pydict({
+            id_col: pa.array(ids),
+            "frame_no": pa.array(frame_nos, pa.int32()),
+            "frame_digest": pa.array(digests, pa.string())})
+
+
+def decode_images(ds: "Any", *, image_col: str = "image",
+                  allow_fake: bool = False, batch_size: int = 32,
+                  concurrency: Any = (1, 4)) -> "Any":
+    """Small batches: batch x payload must fit the worker heap (large binary
+    payloads are exactly the SURVEY §7.5 wide-row case)."""
+    return ds.map_batches(ImageDecodeStage,
+                          fn_constructor_kwargs={"image_col": image_col,
+                                                 "allow_fake": allow_fake},
+                          batch_format="pyarrow", batch_size=batch_size,
+                          concurrency=concurrency)

@@ -1,0 +1,55 @@
+"""Skew handling for host/domain-heavy web corpora (SURVEY §4, north_rule
+"groupby-on-domain salted shuffle").
+
+A Zipf-skewed corpus puts a large fraction of rows on a few hosts; a bare
+``groupby(domain)`` sends every hot-domain row to one reducer. The salted
+two-stage aggregate bounds any single reducer's load:
+
+  1. ``domain_salt = md5(domain) ^ (md5(url) % n_salts)`` — hot domains split
+     into ``n_salts`` sub-keys (stable hashes, never Python ``hash()``)
+  2. partial aggregate per (domain, salt)   <- the big shuffle, skew-free
+  3. final aggregate per domain over <= n_salts tiny partials
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Any
+
+import pyarrow as pa
+import pyarrow.compute as pc
+from ray.data.aggregate import Count, Sum
+
+
+def domain_of(url: str) -> str:
+    rest = url.split("://", 1)[-1]
+    return rest.split("/", 1)[0]
+
+
+def _stable_hash(s: str) -> int:
+    return int.from_bytes(hashlib.md5(s.encode()).digest()[:8], "little")
+
+
+def add_domain_and_salt(batch: pa.Table, n_salts: int = 16,
+                        url_col: str = "url") -> pa.Table:
+    urls = batch.column(url_col).to_pylist()
+    domains = [domain_of(u) for u in urls]
+    salts = [(_stable_hash(d) ^ (_stable_hash(u) % n_salts)) & 0x7FFFFFFF
+             for d, u in zip(domains, urls)]
+    batch = batch.append_column("domain", pa.array(domains, pa.string()))
+    return batch.append_column("domain_salt", pa.array(salts, pa.int64()))
+
+
+def domain_histogram(ds: "Any", *, n_salts: int = 16,
+                     bytes_col: str = "bytes_out") -> "Any":
+    """Per-domain doc counts and byte totals via the salted two-stage
+    aggregate. Returns a small Dataset (one row per domain)."""
+    narrow = ds.map_batches(
+        lambda t: add_domain_and_salt(t, n_salts).select(
+            ["domain", "domain_salt", bytes_col]),
+        batch_format="pyarrow")
+    partial = narrow.groupby(["domain", "domain_salt"]).aggregate(
+        Count(alias_name="n_docs"), Sum(bytes_col, alias_name="total_bytes"))
+    return partial.groupby("domain").aggregate(
+        Sum("n_docs", alias_name="n_docs"),
+        Sum("total_bytes", alias_name="total_bytes"))

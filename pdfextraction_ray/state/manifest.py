@@ -1,0 +1,111 @@
+"""Per-partition commit manifest for resumable runs (SURVEY §4, north_rule
+"resumable from checkpoint with per-partition lineage + metrics").
+
+The reference keeps per-step results in a single mutable ``documents.json``
+(reference storage.py:124-183) and re-runs a crashed step from the previous
+step's saved output; at corpus scale that becomes: one output directory per
+input partition, plus one small JSON lineage record per COMMITTED partition,
+written atomically (temp file + rename). Resume = skip partitions whose
+manifest exists and matches the current parser version; a version bump
+invalidates all previous work (SURVEY §7.5).
+
+Layout:
+
+    out_dir/
+      part=0000/ *.parquet        <- partition output (only after success)
+      _manifest/part-0000.json    <- lineage: inputs, version, counters
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+from typing import Any, Optional
+
+MANIFEST_DIR = "_manifest"
+
+
+def _manifest_path(out_dir: str, part_id: int) -> str:
+    return os.path.join(out_dir, MANIFEST_DIR, f"part-{part_id:04d}.json")
+
+
+def partition_output_dir(out_dir: str, part_id: int) -> str:
+    return os.path.join(out_dir, f"part={part_id:04d}")
+
+
+def write_manifest(out_dir: str, part_id: int, *, input_files: list[str],
+                   parser_version: str, counters: dict[str, Any],
+                   wall_time_s: float) -> str:
+    """Atomic commit record: write to a temp file in the manifest dir, then
+    rename (rename is atomic on POSIX within one filesystem)."""
+    mdir = os.path.join(out_dir, MANIFEST_DIR)
+    os.makedirs(mdir, exist_ok=True)
+    record = {
+        "partition": part_id,
+        "input_files": sorted(input_files),
+        "parser_version": parser_version,
+        "counters": counters,
+        "wall_time_s": round(wall_time_s, 3),
+    }
+    fd, tmp = tempfile.mkstemp(dir=mdir, suffix=".tmp")
+    try:
+        with os.fdopen(fd, "w") as f:
+            json.dump(record, f, indent=1, sort_keys=True)
+        os.replace(tmp, _manifest_path(out_dir, part_id))
+    finally:
+        if os.path.exists(tmp):
+            os.unlink(tmp)
+    return _manifest_path(out_dir, part_id)
+
+
+def read_manifest(out_dir: str, part_id: int) -> Optional[dict[str, Any]]:
+    path = _manifest_path(out_dir, part_id)
+    if not os.path.exists(path):
+        return None
+    try:
+        with open(path) as f:
+            return json.load(f)
+    except (json.JSONDecodeError, OSError):
+        return None  # torn/corrupt manifest counts as uncommitted
+
+
+def committed_partitions(out_dir: str, parser_version: str) -> set[int]:
+    """Partition ids safely skippable on resume: manifest readable AND parser
+    version matches."""
+    mdir = os.path.join(out_dir, MANIFEST_DIR)
+    done: set[int] = set()
+    if not os.path.isdir(mdir):
+        return done
+    for name in os.listdir(mdir):
+        if not (name.startswith("part-") and name.endswith(".json")):
+            continue
+        try:
+            part_id = int(name[5:9])
+        except ValueError:
+            continue
+        rec = read_manifest(out_dir, part_id)
+        if rec and rec.get("parser_version") == parser_version:
+            done.add(part_id)
+    return done
+
+
+def job_summary(out_dir: str) -> dict[str, Any]:
+    """Aggregate counters across all committed manifests (the G2/G8-style
+    job-level metrics view)."""
+    mdir = os.path.join(out_dir, MANIFEST_DIR)
+    total: dict[str, Any] = {"partitions": 0, "wall_time_s": 0.0}
+    counters: dict[str, float] = {}
+    if not os.path.isdir(mdir):
+        return {**total, "counters": counters}
+    for name in sorted(os.listdir(mdir)):
+        if not name.endswith(".json"):
+            continue
+        with open(os.path.join(mdir, name)) as f:
+            rec = json.load(f)
+        total["partitions"] += 1
+        total["wall_time_s"] += rec.get("wall_time_s", 0.0)
+        for k, v in rec.get("counters", {}).items():
+            if isinstance(v, (int, float)):
+                counters[k] = counters.get(k, 0) + v
+    return {**total, "counters": counters}

@@ -1,0 +1,84 @@
+"""Multimodal stage plumbing (stub kernels) and salted-domain skew aggregate."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from pdfextraction_ray.stages.multimodal import (FrameSampleStage,
+                                                 ImageDecodeStage,
+                                                 decode_images)
+from pdfextraction_ray.stages.skew import (add_domain_and_salt, domain_histogram,
+                                           domain_of)
+
+
+def image_table(n=10):
+    return pa.Table.from_pydict({
+        "url": [f"https://img.example/{i}" for i in range(n)],
+        "image": [f"payload-{i}".encode() for i in range(n)]})
+
+
+def test_image_decode_stub_requires_opt_in():
+    out = ImageDecodeStage(allow_fake=False)(image_table(3))
+    assert out.column("decode_ok").to_pylist() == [False] * 3
+    assert all("NotImplementedError" in e
+               for e in out.column("decode_error").to_pylist())
+
+
+def test_image_decode_fake_is_deterministic():
+    a = ImageDecodeStage(allow_fake=True)(image_table(5))
+    b = ImageDecodeStage(allow_fake=True)(image_table(5))
+    assert a.column("image_meta").to_pylist() == b.column("image_meta").to_pylist()
+    assert a.column("image_features").to_pylist() == b.column("image_features").to_pylist()
+    assert all(a.column("decode_ok").to_pylist())
+    assert "image" not in a.column_names  # wide payload dropped at the stage
+    meta = a.column("image_meta").to_pylist()[0]
+    feats = a.column("image_features").to_pylist()[0]
+    assert meta["channels"] == 3 and len(feats) == 3
+
+
+def test_image_decode_dataset_path(ray_session):
+    ds = rd.from_arrow(image_table(20))
+    out = decode_images(ds, allow_fake=True, batch_size=8).to_pandas()
+    assert len(out) == 20 and out["decode_ok"].all()
+
+
+def test_frame_sampler_fan_out():
+    t = pa.Table.from_pydict({"url": ["u1", "u2"],
+                              "video": [b"0123456789ab", b"x"]})
+    out = FrameSampleStage(every_k=5)(t)
+    assert set(out.column("url").to_pylist()) == {"u1", "u2"}
+    assert out.num_rows >= 2
+    per_u1 = [f for u, f in zip(out.column("url").to_pylist(),
+                                out.column("frame_no").to_pylist()) if u == "u1"]
+    assert per_u1 == sorted(per_u1)
+    with pytest.raises(NotImplementedError):
+        FrameSampleStage(allow_fake=False)
+
+
+def test_domain_salt_stable_and_bounded():
+    t = pa.Table.from_pydict({
+        "url": [f"https://hot.example/{i}" for i in range(100)],
+        "bytes_out": np.arange(100, dtype=np.int64)})
+    a = add_domain_and_salt(t, n_salts=8)
+    b = add_domain_and_salt(t, n_salts=8)
+    assert a.column("domain_salt").to_pylist() == b.column("domain_salt").to_pylist()
+    assert a.column("domain").to_pylist() == ["hot.example"] * 100
+    assert len(set(a.column("domain_salt").to_pylist())) <= 8
+
+
+def test_domain_histogram(ray_session):
+    urls = ([f"https://hot.example/{i}" for i in range(50)]
+            + [f"https://cold{i}.example/x" for i in range(5)])
+    t = pa.Table.from_pydict({"url": urls,
+                              "bytes_out": np.ones(55, dtype=np.int64) * 10})
+    out = domain_histogram(rd.from_arrow(t)).to_pandas().set_index("domain")
+    assert out.loc["hot.example", "n_docs"] == 50
+    assert out.loc["hot.example", "total_bytes"] == 500
+    assert len(out) == 6
+
+
+def test_domain_of():
+    assert domain_of("https://a.b.c/path/x") == "a.b.c"
+    assert domain_of("http://h") == "h"
+    assert domain_of("no-scheme/path") == "no-scheme"

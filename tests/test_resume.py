@@ -1,0 +1,77 @@
+"""Resumable-runner semantics: atomic manifests, skip-on-resume, version
+invalidation, counter aggregation."""
+
+import json
+import os
+
+import pytest
+
+from pdfextraction_ray.fixtures import write_corpus
+from pdfextraction_ray.pipelines import runner as R
+from pdfextraction_ray.state import manifest as M
+
+
+@pytest.fixture()
+def corpus(tmp_path):
+    return write_corpus(str(tmp_path / "in"), 60, seed=7, n_shards=3)
+
+
+def test_run_then_resume_skips_committed(tmp_path, corpus, ray_session):
+    out = str(tmp_path / "out")
+    s1 = R.run_resumable(corpus, out, files_per_partition=1, concurrency=2)
+    assert s1["partitions_run"] == [0, 1, 2]
+    assert s1["counters"]["docs"] == 60
+    assert s1["counters"]["parse_failures"] == 0
+    s2 = R.run_resumable(corpus, out, files_per_partition=1, concurrency=2)
+    assert s2["partitions_run"] == []
+    assert s2["partitions_skipped"] == [0, 1, 2]
+    assert s2["counters"]["docs"] == 60  # unchanged totals
+
+
+def test_partial_run_resumes_missing_partition(tmp_path, corpus, ray_session):
+    out = str(tmp_path / "out")
+    R.run_resumable(corpus, out, files_per_partition=1, concurrency=2)
+    # simulate a crash that lost partition 1's commit
+    os.unlink(os.path.join(out, "_manifest", "part-0001.json"))
+    s = R.run_resumable(corpus, out, files_per_partition=1, concurrency=2)
+    assert s["partitions_run"] == [1]
+    assert s["partitions_skipped"] == [0, 2]
+
+
+def test_version_bump_invalidates(tmp_path, corpus, ray_session):
+    out = str(tmp_path / "out")
+    R.run_resumable(corpus, out, files_per_partition=1, concurrency=2)
+    s = R.run_resumable(corpus, out, files_per_partition=1, concurrency=2,
+                        parser_version="pdfextraction_ray/NEXT")
+    assert s["partitions_run"] == [0, 1, 2]
+
+
+def test_torn_manifest_counts_as_uncommitted(tmp_path):
+    out = str(tmp_path / "o")
+    os.makedirs(os.path.join(out, "_manifest"))
+    with open(os.path.join(out, "_manifest", "part-0000.json"), "w") as f:
+        f.write('{"partition": 0, "parser_ver')  # torn write
+    assert M.committed_partitions(out, "v") == set()
+
+
+def test_manifest_atomicity_and_content(tmp_path):
+    out = str(tmp_path / "o")
+    path = M.write_manifest(out, 3, input_files=["b.parquet", "a.parquet"],
+                            parser_version="v1", counters={"docs": 5},
+                            wall_time_s=1.234)
+    rec = json.load(open(path))
+    assert rec["input_files"] == ["a.parquet", "b.parquet"]
+    assert rec["counters"]["docs"] == 5
+    assert not [p for p in os.listdir(os.path.dirname(path))
+                if p.endswith(".tmp")]
+
+
+def test_output_partition_layout(tmp_path, corpus, ray_session):
+    out = str(tmp_path / "out")
+    R.run_resumable(corpus, out, files_per_partition=2, concurrency=2)
+    # 3 input files / 2 per partition -> 2 partitions
+    assert sorted(d for d in os.listdir(out) if d.startswith("part=")) == \
+        ["part=0000", "part=0001"]
+    summary = M.job_summary(out)
+    assert summary["partitions"] == 2
+    assert summary["counters"]["docs"] == 60
