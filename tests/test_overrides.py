@@ -1,0 +1,59 @@
+"""J5/A8 override semantics: validated schema column coalesces over the
+computed one and re-extracts; parser config resolves per domain."""
+
+import pyarrow as pa
+import ray.data as rd
+
+from pdfextraction_ray import geometry as G
+from pdfextraction_ray.fixtures import CORPUS_SCHEMA, flagship_word_page
+from pdfextraction_ray.payload import encode_words
+from pdfextraction_ray.stages.overrides import (ParserConfigOverrides,
+                                                apply_schema_overrides)
+from pdfextraction_ray.stages.parse import DocumentParser
+
+
+def _corpus():
+    import numpy as np
+    words = flagship_word_page(43)
+    return pa.Table.from_pydict({
+        "url": ["https://a.example/1", "https://b.example/2"],
+        "warc_ts": np.zeros(2, dtype="datetime64[us]"),
+        "html": [encode_words(words), encode_words(words)],
+        "text": ["", ""], "lang": ["en", "en"]}, schema=CORPUS_SCHEMA)
+
+
+def test_schema_override_reextracts(ray_session):
+    batch = _corpus()
+    parsed = DocumentParser()(batch)
+    # keep the payload column alongside the envelope for the override pass
+    parsed = parsed.append_column("html", batch.column("html"))
+    override = {"form_fields": [], "field_type": "table",
+                "tables": [{"table_name": "only_rates",
+                            "headers": ["RateCode", "Description", "Rate", "Salary"]}]}
+    ds = rd.from_arrow(parsed)
+    out = apply_schema_overrides(ds, {"https://a.example/1": override}) \
+        .to_pandas().set_index("url")
+    a = out.loc["https://a.example/1"]
+    b = out.loc["https://b.example/2"]
+    assert a["schema_validated"] and not b["schema_validated"]
+    assert list(a["schema"]["form_fields"]) == []
+    assert len(a["tables"]) == 1
+    assert a["tables"][0]["table_name"] == "only_rates"
+    assert len(a["tables"][0]["rows"]) > 0
+    # untouched row keeps its computed schema
+    assert len(b["schema"]["form_fields"]) > 0
+
+
+def test_override_noop_when_no_hits(ray_session):
+    batch = _corpus()
+    parsed = DocumentParser()(batch).append_column("html", batch.column("html"))
+    ds = rd.from_arrow(parsed)
+    out = apply_schema_overrides(ds, {"https://nomatch.example/": {}}).to_pandas()
+    assert "schema_validated" not in out.columns or not out["schema_validated"].any()
+
+
+def test_parser_config_overrides():
+    cfg = ParserConfigOverrides({"slow.example": {"proximity_multiplier": 3.0}})
+    assert cfg.resolve("slow.example")["proximity_multiplier"] == 3.0
+    assert cfg.resolve("other.example")["proximity_multiplier"] == 2.0
+    assert cfg.resolve("slow.example")["min_text_chars"] == 25
