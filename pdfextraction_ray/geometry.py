@@ -377,11 +377,15 @@ def _table_region_of(table_lines: list[list[Word]]) -> dict[str, Any]:
     }
 
 
-def identify_table_regions(words: list[Word]) -> list[dict[str, Any]]:
+def identify_table_regions(words: list[Word],
+                           lines: Optional[list[list[Word]]] = None,
+                           ) -> list[dict[str, Any]]:
     """Detect table regions: lines with >=3 regularly-spaced words, grouped
     while consecutive lines are <=20pt apart, kept when >=2 rows
-    (spatial_preprocessor.py:465-508)."""
-    lines = group_words_into_lines(words)
+    (spatial_preprocessor.py:465-508). Pass precomputed ``lines`` to avoid
+    re-grouping (hot path)."""
+    if lines is None:
+        lines = group_words_into_lines(words)
     candidates = [ln for ln in lines
                   if len(ln) >= 3 and has_regular_spacing([w["x0"] for w in ln])]
     regions: list[dict[str, Any]] = []

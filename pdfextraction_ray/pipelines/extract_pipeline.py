@@ -14,39 +14,45 @@ from typing import Optional, Union
 
 import ray.data
 
-from ..stages.parse import DocumentParser
+from ..stages.parse import DocumentParser, parse_batch_task
 
-DEFAULT_BATCH_SIZE = 64
+DEFAULT_BATCH_SIZE = 512
 
 
 def parse_pages(ds: "ray.data.Dataset", *,
                 batch_size: int = DEFAULT_BATCH_SIZE,
                 concurrency: Optional[Union[int, tuple[int, int]]] = None,
                 min_text_chars: int = 25) -> "ray.data.Dataset":
-    """Apply the DocumentParser actor pool to a pages Dataset.
+    """Apply the document parser to a pages Dataset.
 
-    ``concurrency=None`` sizes an autoscaling pool (1, cluster CPUs) — the
-    parse stage is the dominant compute, so it may take every core while the
-    lighter read/write stages interleave; pass an explicit ``(min, max)`` when
-    co-scheduling with other heavy stages. ``batch_size`` is small because
-    rows are wide (binary payloads) — batch x payload must fit the worker
-    heap.
+    Two physical forms (same semantics):
+    - default (``concurrency=None`` and default config): stateless TASKS with
+      a per-worker cached parser — elastic, no pool spin-up, best measured
+      throughput; parser state here is cheap (compiled regexes)
+    - explicit ``concurrency`` or non-default config: a DocumentParser ACTOR
+      POOL — the form for heavyweight warmed state (models, big tries) or
+      per-stage resource isolation
+
+    ``batch_size`` bounds batch x payload in the worker heap; 512 is sized
+    for ~KB-scale payloads — drop it for corpora with MB-scale pages.
     """
+    if concurrency is None and min_text_chars == 25:
+        return ds.map_batches(parse_batch_task, batch_format="pyarrow",
+                              zero_copy_batch=True, batch_size=batch_size)
     if concurrency is None:
         try:
             import ray
             ncpu = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
         except Exception:
             ncpu = 8
-        concurrency = (1, max(2, ncpu))
-    kwargs = {"concurrency": concurrency}
+        concurrency = (1, max(2, ncpu - 2))
     return ds.map_batches(
         DocumentParser,
         fn_constructor_kwargs={"min_text_chars": min_text_chars},
         batch_format="pyarrow",
         zero_copy_batch=True,
         batch_size=batch_size,
-        **kwargs,
+        concurrency=concurrency,
     )
 
 

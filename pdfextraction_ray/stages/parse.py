@@ -66,8 +66,23 @@ def _rows_to_lists(rows: list[dict[str, Optional[str]]],
     return [[r.get(h) for h in headers] for r in rows]
 
 
+_TASK_PARSER: "DocumentParser | None" = None
+
+
+def parse_batch_task(batch: pa.Table) -> pa.Table:
+    """Stateless-task form of the parse stage with a per-worker-process
+    cached parser (Ray reuses worker processes, so the warmed state amortizes
+    exactly like an actor's — without actor-pool spin-up/ramp cost). Default
+    for the flagship pipeline; use the DocumentParser actor-pool form when
+    per-stage config or heavyweight state (models) is needed."""
+    global _TASK_PARSER
+    if _TASK_PARSER is None:
+        _TASK_PARSER = DocumentParser()
+    return _TASK_PARSER(batch)
+
+
 class DocumentParser:
-    """Actor-pool parser for both payload kinds.
+    """Parser for both payload kinds (callable-class form for actor pools).
 
     HTML pages go through the readability-style stripper; word pages go
     through the byte-exact spatial formatter plus the deterministic
@@ -82,10 +97,8 @@ class DocumentParser:
     # -- per-document parsers ----------------------------------------------
     def _parse_words(self, payload: bytes) -> dict[str, Any]:
         words = decode_words(payload)
-        text = G.preprocess_document(words)
-        step1 = X.classify_structure(words)
-        schema = X.infer_schema(words)
-        step3 = X.extract_data(words, schema)
+        page = X.parse_word_page(words)  # one pass for text + all 3 steps
+        text = page["extracted_text"]
         # span lineage: one span per formatted line of the byte-exact text
         spans = []
         pos = 0
@@ -94,15 +107,15 @@ class DocumentParser:
             pos += len(ln) + len(G.LINE_JOIN)
         return {
             "doc_kind": KIND_WORDS,
-            "classification": step1["classification"],
-            "class_confidence": step1["confidence"],
-            "schema": schema,
+            "classification": page["classification"],
+            "class_confidence": page["confidence"],
+            "schema": page["schema"],
             "extracted_text": text,
             "fields": [{"name": k, "value": v}
-                       for k, v in step3["extracted_data"].items()],
+                       for k, v in page["extracted_data"].items()],
             "tables": [{"table_name": t["table_name"], "headers": t["headers"],
                         "rows": _rows_to_lists(t["rows"], t["headers"])}
-                       for t in step3["table_data"]],
+                       for t in page["table_data"]],
             "spans": spans,
             "n_words": len(words),
         }
