@@ -94,7 +94,13 @@ def band_buckets(sig: np.ndarray, n_bands: int = 16) -> list[int]:
 
 def jaccard_ngrams(a: str, b: str, k: int = 5) -> float:
     """Exact character-k-gram Jaccard similarity (verification step)."""
-    sa, sb = _shingle_hashes(a, k), _shingle_hashes(b, k)
+    return jaccard_from_shingles(_shingle_hashes(a, k), _shingle_hashes(b, k))
+
+
+def jaccard_from_shingles(sa: np.ndarray, sb: np.ndarray) -> float:
+    """Jaccard over precomputed sorted-unique shingle arrays — use with a
+    per-doc cache when verifying many pairs (each doc's shingles computed
+    once, not once per pair)."""
     if len(sa) == 0 and len(sb) == 0:
         return 1.0
     inter = len(np.intersect1d(sa, sb, assume_unique=True))

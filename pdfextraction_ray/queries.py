@@ -334,6 +334,83 @@ GROUP BY o_orderpriority ORDER BY o_orderpriority
 
 
 # ---------------------------------------------------------------------------
+# string predicates + grouped stats over part (LIKE/starts-with F3-style ops)
+# ---------------------------------------------------------------------------
+
+def q_part_brand_stats(sf_dir: str) -> pa.Table:
+    ds = rd.read_parquet(_p(sf_dir, "part"),
+                         columns=["p_brand", "p_type", "p_retailprice"])
+    ds = ds.map_batches(
+        lambda t: t.filter(pc.match_substring(t["p_type"], "PROMO")),
+        batch_format="pyarrow")
+    agg = ds.groupby("p_brand").aggregate(
+        Count(alias_name="n_parts"), Sum("p_retailprice", alias_name="sum_price"))
+    t = pa.Table.from_pandas(agg.to_pandas(), preserve_index=False)
+    return _round4(t, ["sum_price"]).sort_by("p_brand")
+
+
+SQL_PART_BRAND = """
+SELECT p_brand, COUNT(*) AS n_parts, ROUND(SUM(p_retailprice), 4) AS sum_price
+FROM part WHERE p_type LIKE '%PROMO%'
+GROUP BY p_brand ORDER BY p_brand
+"""
+
+
+def q_top_customers(sf_dir: str) -> "rd.Dataset":
+    ds = rd.read_parquet(_p(sf_dir, "customer"),
+                         columns=["c_custkey", "c_name", "c_acctbal"])
+    return ds.sort(["c_acctbal", "c_custkey"], descending=[True, False]).limit(10)
+
+
+SQL_TOP_CUSTOMERS = """
+SELECT c_custkey, c_name, c_acctbal FROM customer
+ORDER BY c_acctbal DESC, c_custkey ASC LIMIT 10
+"""
+
+
+def q_segment_revenue(sf_dir: str) -> pa.Table:
+    """Three-table rollup with two broadcast joins: lineitem -> orders
+    (o_custkey) -> customer (mktsegment). The orders map is the larger
+    broadcast side — fine up to ~10^7 keys; beyond that, bucket join."""
+    cust = pq.read_table(_p(sf_dir, "customer"), columns=["c_custkey", "c_mktsegment"])
+    seg_by_cust = dict(zip(cust.column("c_custkey").to_pylist(),
+                           cust.column("c_mktsegment").to_pylist()))
+    orders = pq.read_table(_p(sf_dir, "orders"), columns=["o_orderkey", "o_custkey"])
+    seg_by_order = {o: seg_by_cust.get(c)
+                    for o, c in zip(orders.column("o_orderkey").to_pylist(),
+                                    orders.column("o_custkey").to_pylist())}
+    ref = ray.put(seg_by_order)
+
+    class SegLookup:
+        def __init__(self):
+            self.m = ray.get(ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            segs = [self.m.get(k) for k in t.column("l_orderkey").to_pylist()]
+            rev = pc.multiply(t["l_extendedprice"],
+                              pc.subtract(pa.scalar(1.0), t["l_discount"]))
+            return pa.Table.from_pydict({
+                "c_mktsegment": pa.array(segs, pa.string()), "revenue": rev})
+
+    ds = rd.read_parquet(_p(sf_dir, "lineitem"),
+                         columns=["l_orderkey", "l_extendedprice", "l_discount"])
+    ds = ds.map_batches(SegLookup, batch_format="pyarrow", concurrency=(1, 8))
+    agg = ds.groupby("c_mktsegment").aggregate(
+        Count(alias_name="n_items"), Sum("revenue", alias_name="revenue"))
+    t = pa.Table.from_pandas(agg.to_pandas(), preserve_index=False)
+    return _round4(t, ["revenue"]).sort_by("c_mktsegment")
+
+
+SQL_SEGMENT_REVENUE = """
+SELECT c.c_mktsegment, COUNT(*) AS n_items,
+       ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment
+"""
+
+
+# ---------------------------------------------------------------------------
 # M6/F1-F4: value-pattern string predicates over documents.text
 # ---------------------------------------------------------------------------
 
@@ -479,32 +556,48 @@ def q_embedding_ann_lsh(sf_dir: str) -> pa.Table:
 def q_minhash_near_dup_pairs(sf_dir: str) -> pa.Table:
     ds = rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
     hashed = ds.map_batches(D.MinHasher, batch_format="pyarrow",
-                            concurrency=(1, 4),
+                            batch_size=128, concurrency=(2, 16),
                             fn_constructor_kwargs={"num_perm": 64, "n_bands": 16})
     exploded = hashed.map_batches(
         lambda t: D.explode_bands(t.select(["doc_id", "bands"])),
         batch_format="pyarrow")
+    # Most (band, bucket) keys are singletons; per-group Python over all of
+    # them is the scale trap. Vectorized count -> keep only keys with >=2
+    # docs (the actual near-dup candidates) -> pair-generate on that small set.
+    counts = exploded.groupby(["band", "bucket"]).aggregate(Count(alias_name="n"))
+    dup_keys = counts.filter(expr="n >= 2").to_pandas()
+    if dup_keys.empty:
+        cand_df = pd.DataFrame({"doc_a": [], "doc_b": []})
+    else:
+        keys = set(zip(dup_keys["band"].tolist(), dup_keys["bucket"].tolist()))
+        keys_ref = ray.put(keys)
 
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        pairs = D.candidate_pairs_from_bucket(g["doc_id"].tolist())
-        return pd.DataFrame({"doc_a": [a for a, _ in pairs],
-                             "doc_b": [b for _, b in pairs]})
+        def in_dup_bucket(t: pa.Table) -> pa.Table:
+            k = ray.get(keys_ref)
+            mask = [(b, u) in k for b, u in zip(t.column("band").to_pylist(),
+                                               t.column("bucket").to_pylist())]
+            return t.filter(pa.array(mask, pa.bool_()))
 
-    cand = exploded.groupby(["band", "bucket"]).map_groups(
-        bucket_pairs, batch_format="pandas")
-    cand_df = cand.to_pandas().drop_duplicates()
+        members = exploded.map_batches(in_dup_bucket, batch_format="pyarrow") \
+            .to_pandas()  # bounded: only docs sharing some LSH bucket
+        rows = []
+        for (_, _), grp in members.groupby(["band", "bucket"]):
+            rows.extend(D.candidate_pairs_from_bucket(grp["doc_id"].tolist()))
+        cand_df = pd.DataFrame(rows, columns=["doc_a", "doc_b"]).drop_duplicates()
     if cand_df.empty:
         return pa.Table.from_pydict({"doc_a": pa.array([], pa.int64()),
                                      "doc_b": pa.array([], pa.int64()),
                                      "jaccard": pa.array([], pa.float64())})
-    # verification: fetch only candidate docs' texts (bounded set)
+    # verification: fetch only candidate docs' texts (bounded set), shingle
+    # each doc ONCE, then pairwise Jaccard from the cache
     wanted = set(cand_df["doc_a"]) | set(cand_df["doc_b"])
     docs = pq.read_table(_p(sf_dir, "documents"), columns=["doc_id", "text"])
-    texts = {d: t for d, t in zip(docs.column("doc_id").to_pylist(),
-                                  docs.column("text").to_pylist()) if d in wanted}
+    shingles = {d: D._shingle_hashes(t)
+                for d, t in zip(docs.column("doc_id").to_pylist(),
+                                docs.column("text").to_pylist()) if d in wanted}
     rows = []
     for a, b in zip(cand_df["doc_a"], cand_df["doc_b"]):
-        j = D.jaccard_ngrams(texts[a], texts[b])
+        j = D.jaccard_from_shingles(shingles[a], shingles[b])
         if j >= 0.6:
             rows.append((int(a), int(b), round(j, 4)))
     rows.sort()
@@ -571,6 +664,9 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "customer_nation_balance": q_customer_nation_balance,
     "supplier_volume": q_supplier_volume,
     "orders_priority": q_orders_priority,
+    "part_brand_stats": q_part_brand_stats,
+    "top_customers": q_top_customers,
+    "segment_revenue": q_segment_revenue,
     "value_patterns": q_value_patterns,
     "token_stats": q_token_stats,
     "quality_filter": q_quality_filter,
@@ -594,6 +690,9 @@ ORACLES: dict[str, str] = {
     "customer_nation_balance": SQL_CUSTOMER_NATION,
     "supplier_volume": SQL_SUPPLIER_VOLUME,
     "orders_priority": SQL_ORDERS_PRIORITY,
+    "part_brand_stats": SQL_PART_BRAND,
+    "top_customers": SQL_TOP_CUSTOMERS,
+    "segment_revenue": SQL_SEGMENT_REVENUE,
     "value_patterns": SQL_VALUE_PATTERNS,
     "token_stats": SQL_TOKEN_STATS,
     "quality_filter": SQL_QUALITY_FILTER,
