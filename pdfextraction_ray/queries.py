@@ -548,6 +548,166 @@ def q_embedding_ann_lsh(sf_dir: str) -> pa.Table:
 
 
 # ---------------------------------------------------------------------------
+# embedding-cosine near-dup: EXACT blocked all-pairs (each batch scores
+# against the broadcast matrix — O(n^2) total FLOPs but O(n/blocks) memory per
+# task; the approximate scale path is the LSH bucketing above)
+# ---------------------------------------------------------------------------
+
+def q_embedding_near_dup_pairs(sf_dir: str, threshold: float = 0.4) -> pa.Table:
+    emb = pq.read_table(_p(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+    ids = np.asarray(emb.column("vec_id").to_pylist(), dtype=np.int64)
+    mat = np.asarray(emb.column("embedding").to_pylist(), dtype=np.float64)
+    norms = np.linalg.norm(mat, axis=1)
+    norms[norms == 0] = 1.0
+    unit = mat / norms[:, None]
+    ref = ray.put((ids, unit))
+
+    class BlockScorer:
+        def __init__(self):
+            self.ids, self.unit = ray.get(ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            block_ids = np.asarray(t.column("vec_id").to_pylist(), dtype=np.int64)
+            block = np.asarray(t.column("embedding").to_pylist(), dtype=np.float64)
+            bn = np.linalg.norm(block, axis=1)
+            bn[bn == 0] = 1.0
+            scores = (block / bn[:, None]) @ self.unit.T
+            rows_a, rows_b, sims = [], [], []
+            for i, aid in enumerate(block_ids):
+                hit = np.where(scores[i] >= threshold)[0]
+                for j in hit:
+                    bid = self.ids[j]
+                    if aid < bid:  # each unordered pair emitted once
+                        rows_a.append(int(aid))
+                        rows_b.append(int(bid))
+                        sims.append(float(scores[i, j]))
+            return pa.Table.from_pydict({
+                "vec_a": pa.array(rows_a, pa.int64()),
+                "vec_b": pa.array(rows_b, pa.int64()),
+                "cosine": pa.array(np.round(sims, 4), pa.float64())})
+
+    ds = rd.read_parquet(_p(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+    out = ds.map_batches(BlockScorer, batch_format="pyarrow", batch_size=512,
+                         concurrency=(1, 8)).to_pandas()
+    # score column intentionally omitted from the oracle-compared output:
+    # DuckDB's list_cosine_similarity computes in float32, ours in float64
+    # (diffs ~1e-8) — pair membership is the contract
+    t = pa.Table.from_pydict({
+        "vec_a": pa.array(out.get("vec_a", []), pa.int64()),
+        "vec_b": pa.array(out.get("vec_b", []), pa.int64())})
+    return t.sort_by([("vec_a", "ascending"), ("vec_b", "ascending")])
+
+
+SQL_EMBEDDING_NEAR_DUP = """
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.4
+ORDER BY vec_a, vec_b
+"""
+
+
+# ---------------------------------------------------------------------------
+# session windows (gap-based) per user: ordered fold inside map_groups —
+# the streaming-shaped op of SURVEY §2.10, oracle via SQL window functions
+# ---------------------------------------------------------------------------
+
+def q_user_sessions(sf_dir: str, gap_minutes: int = 30) -> pa.Table:
+    gap_us = gap_minutes * 60_000_000
+
+    def sessionize(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("ts")
+        ts_us = g["ts"].astype("int64")
+        new_session = (ts_us.diff() > gap_us).fillna(True)
+        sid = new_session.cumsum()
+        out = g.assign(_sid=sid).groupby("_sid").agg(
+            user_id=("user_id", "first"), session_start=("ts", "min"),
+            session_end=("ts", "max"), n_events=("ts", "size"),
+            sum_value=("value", "sum")).reset_index(drop=True)
+        out["n_events"] = out["n_events"].astype("int64")
+        return out
+
+    ds = rd.read_parquet(_p(sf_dir, "events"), columns=["user_id", "ts", "value"])
+    out = ds.groupby("user_id").map_groups(sessionize, batch_format="pandas")
+    t = pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+    return _round4(t, ["sum_value"]).sort_by([
+        ("user_id", "ascending"), ("session_start", "ascending")])
+
+
+SQL_USER_SESSIONS = """
+WITH marked AS (
+  SELECT user_id, ts, value,
+         CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                   > INTERVAL 30 MINUTE OR
+                   LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+              THEN 1 ELSE 0 END AS is_new
+  FROM events),
+sess AS (
+  SELECT user_id, ts, value,
+         SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS UNBOUNDED PRECEDING) AS sid
+  FROM marked)
+SELECT user_id, MIN(ts) AS session_start, MAX(ts) AS session_end,
+       COUNT(*) AS n_events, ROUND(SUM(value), 4) AS sum_value
+FROM sess GROUP BY user_id, sid
+ORDER BY user_id, session_start
+"""
+
+
+# ---------------------------------------------------------------------------
+# per-group percentiles (median spacing analogue of G1 at corpus level)
+# ---------------------------------------------------------------------------
+
+def q_value_percentiles(sf_dir: str) -> pa.Table:
+    def pct(g: pd.DataFrame) -> pd.DataFrame:
+        v = g["value"].to_numpy()
+        return pd.DataFrame({
+            "event_type": [g["event_type"].iloc[0]],
+            "p50": [np.percentile(v, 50)],  # linear interpolation ==
+            "p95": [np.percentile(v, 95)],  # SQL percentile_cont
+            "n": [np.int64(len(v))]})
+
+    ds = rd.read_parquet(_p(sf_dir, "events"), columns=["event_type", "value"])
+    out = ds.groupby("event_type").map_groups(pct, batch_format="pandas")
+    t = pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+    return _round4(t, ["p50", "p95"]).sort_by("event_type")
+
+
+SQL_VALUE_PERCENTILES = """
+SELECT event_type,
+       ROUND(percentile_cont(0.50) WITHIN GROUP (ORDER BY value), 4) AS p50,
+       ROUND(percentile_cont(0.95) WITHIN GROUP (ORDER BY value), 4) AS p95,
+       COUNT(*) AS n
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# native hash join (Ray Dataset.join — both sides distributed; the
+# broadcast pattern above is preferred when one side is small)
+# ---------------------------------------------------------------------------
+
+def q_orders_customer_join(sf_dir: str) -> pa.Table:
+    orders = rd.read_parquet(_p(sf_dir, "orders"),
+                             columns=["o_custkey", "o_totalprice"])
+    cust = rd.read_parquet(_p(sf_dir, "customer"),
+                           columns=["c_custkey", "c_mktsegment"])
+    joined = orders.join(cust, join_type="inner", num_partitions=16,
+                         on=("o_custkey",), right_on=("c_custkey",))
+    agg = joined.groupby("c_mktsegment").aggregate(
+        Count(alias_name="n_orders"), Sum("o_totalprice", alias_name="sum_totalprice"))
+    t = pa.Table.from_pandas(agg.to_pandas(), preserve_index=False)
+    return _round4(t, ["sum_totalprice"]).sort_by("c_mktsegment")
+
+
+SQL_ORDERS_CUSTOMER_JOIN = """
+SELECT c.c_mktsegment, COUNT(*) AS n_orders,
+       ROUND(SUM(o.o_totalprice), 4) AS sum_totalprice
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment
+"""
+
+
+# ---------------------------------------------------------------------------
 # near-dedup: MinHash + LSH banding -> verified Jaccard pairs (no SQL oracle;
 # rows-only check). SimHash / fingerprints / language-ID: deterministic
 # per-doc signatures.
@@ -673,6 +833,10 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "exact_dedup": q_exact_dedup,
     "embedding_topk": q_embedding_topk,
     "embedding_ann_lsh": q_embedding_ann_lsh,
+    "embedding_near_dup_pairs": q_embedding_near_dup_pairs,
+    "user_sessions": q_user_sessions,
+    "value_percentiles": q_value_percentiles,
+    "orders_customer_join": q_orders_customer_join,
     "minhash_near_dup_pairs": q_minhash_near_dup_pairs,
     "simhash_fingerprints": q_simhash_fingerprints,
     "doc_fingerprints": q_doc_fingerprints,
@@ -698,6 +862,10 @@ ORACLES: dict[str, str] = {
     "quality_filter": SQL_QUALITY_FILTER,
     "exact_dedup": SQL_EXACT_DEDUP,
     "embedding_topk": SQL_EMBEDDING_TOPK,
+    "embedding_near_dup_pairs": SQL_EMBEDDING_NEAR_DUP,
+    "user_sessions": SQL_USER_SESSIONS,
+    "value_percentiles": SQL_VALUE_PERCENTILES,
+    "orders_customer_join": SQL_ORDERS_CUSTOMER_JOIN,
     # embedding_ann_lsh, minhash_near_dup_pairs, simhash_fingerprints,
     # doc_fingerprints, language_id, extract_pages: not SQL-expressible
     # (approximate / sketch / parser semantics) -> rows-only driver check.
