@@ -24,7 +24,7 @@ import time
 
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
-N_DOCS = int(os.environ.get("GRAFT_BENCH_DOCS", "100000"))
+N_DOCS = int(os.environ.get("GRAFT_BENCH_DOCS", "200000"))
 CORPUS_SHARDS = 32
 BENCH_QUERIES = ["pricing_summary", "events_by_type", "top_recent_events",
                  "exact_dedup", "embedding_topk", "token_stats",

@@ -70,10 +70,17 @@ class _Node:
         self.link_chars = 0
 
 
-class _ContentParser(HTMLParser):
-    """Single-pass streaming extraction: maintains an open-element stack;
-    text accumulates into the nearest open paragraph/heading block; closing a
-    block scores and (maybe) emits it."""
+class _PageParser(HTMLParser):
+    """ONE streaming pass producing both main-content blocks and <table>
+    structures (content scoring and table capture are independent state
+    machines fed by the same tag events — a second parse of the document
+    would double the dominant cost of the stage).
+
+    Content side: an open-element stack; text accumulates into the nearest
+    open paragraph/heading block; closing a block scores and (maybe) emits it.
+    Table side: first <th> (or first) row -> headers, remaining rows padded/
+    truncated to the header width; captures inside blocked subtrees too
+    (tables are structural data, not boilerplate text)."""
 
     def __init__(self) -> None:
         super().__init__(convert_charrefs=True)
@@ -84,11 +91,61 @@ class _ContentParser(HTMLParser):
         self.container_seen = False   # any <main>/<article> encountered
         self.container_depth = 0
         self.blocks_in_container: list[tuple[str, str]] = []
-        self.pending_text: list[str] = []     # text outside any para block
-        self.pending_link_chars = 0
+        # table state
+        self.tables: list[dict[str, Any]] = []
+        self._in_table = 0
+        self._trows: list[list[str]] = []
+        self._trow: Optional[list[str]] = None
+        self._cell: Optional[list[str]] = None
+        self._caption: Optional[list[str]] = None
+        self._header_row: Optional[list[str]] = None
+        self._row_is_header = False
+
+    # -- table sub-machine ---------------------------------------------------
+    def _table_starttag(self, tag: str) -> None:
+        if tag == "table":
+            self._in_table += 1
+            if self._in_table == 1:
+                self._trows, self._header_row, self._caption = [], None, None
+        elif self._in_table:
+            if tag == "tr":
+                self._trow, self._row_is_header = [], False
+            elif tag in ("td", "th"):
+                self._cell = []
+                if tag == "th":
+                    self._row_is_header = True
+            elif tag == "caption":
+                self._caption = []
+
+    def _table_endtag(self, tag: str) -> None:
+        if not self._in_table:
+            return
+        if tag in ("td", "th") and self._cell is not None and self._trow is not None:
+            self._trow.append(_WS_RE.sub(" ", "".join(self._cell)).strip())
+            self._cell = None
+        elif tag == "tr" and self._trow is not None:
+            if self._row_is_header and self._header_row is None:
+                self._header_row = self._trow
+            else:
+                self._trows.append(self._trow)
+            self._trow = None
+        elif tag == "table":
+            self._in_table -= 1
+            if self._in_table == 0:
+                headers = self._header_row
+                if headers is None and self._trows:
+                    headers = self._trows.pop(0)
+                if headers:
+                    ncol = len(headers)
+                    rows = [(r + [None] * ncol)[:ncol] for r in self._trows]
+                    name = (_WS_RE.sub(" ", "".join(self._caption)).strip()
+                            if self._caption else f"table_{len(self.tables) + 1}")
+                    self.tables.append({"table_name": name, "headers": headers,
+                                        "rows": rows})
 
     # -- tag events ---------------------------------------------------------
     def handle_starttag(self, tag: str, attrs: list[tuple[str, Optional[str]]]) -> None:
+        self._table_starttag(tag)
         if tag in VOID_TAGS:
             if tag == "br" and self.stack:
                 self.stack[-1].texts.append(" ")
@@ -110,6 +167,7 @@ class _ContentParser(HTMLParser):
         self.stack.append(_Node(tag, blocked, parent))
 
     def handle_endtag(self, tag: str) -> None:
+        self._table_endtag(tag)
         if tag in VOID_TAGS:
             return
         # pop until the matching open tag (tolerates malformed nesting)
@@ -124,6 +182,10 @@ class _ContentParser(HTMLParser):
             self._close_node(self.stack.pop())
 
     def handle_data(self, data: str) -> None:
+        if self._cell is not None:
+            self._cell.append(data)
+        elif self._caption is not None:
+            self._caption.append(data)
         if self.block_depth > 0 or not data:
             return
         if self.stack:
@@ -164,76 +226,6 @@ class _ContentParser(HTMLParser):
             self._close_node(self.stack.pop())
 
 
-class _TableParser(HTMLParser):
-    """Extract <table> markup into {table_name, headers, rows} structures.
-
-    Headers come from the first row's <th> (or <td> when no <th> exists);
-    rows are lists of cell texts aligned to the header count (padded with
-    None / truncated). table_name is ``table_<i>`` in document order, or the
-    <caption> text when present.
-    """
-
-    def __init__(self) -> None:
-        super().__init__(convert_charrefs=True)
-        self.tables: list[dict[str, Any]] = []
-        self._in_table = 0
-        self._rows: list[list[str]] = []
-        self._row: Optional[list[str]] = None
-        self._cell: Optional[list[str]] = None
-        self._caption: Optional[list[str]] = None
-        self._header_row: Optional[list[str]] = None
-        self._row_is_header = False
-
-    def handle_starttag(self, tag: str, attrs: list) -> None:
-        if tag == "table":
-            self._in_table += 1
-            if self._in_table == 1:
-                self._rows, self._header_row, self._caption = [], None, None
-        elif self._in_table:
-            if tag == "tr":
-                self._row, self._row_is_header = [], False
-            elif tag in ("td", "th"):
-                self._cell = []
-                if tag == "th":
-                    self._row_is_header = True
-            elif tag == "caption":
-                self._caption = []
-
-    def handle_endtag(self, tag: str) -> None:
-        if not self._in_table:
-            return
-        if tag in ("td", "th") and self._cell is not None and self._row is not None:
-            self._row.append(_WS_RE.sub(" ", "".join(self._cell)).strip())
-            self._cell = None
-        elif tag == "tr" and self._row is not None:
-            if self._row_is_header and self._header_row is None:
-                self._header_row = self._row
-            else:
-                self._rows.append(self._row)
-            self._row = None
-        elif tag == "caption":
-            pass
-        elif tag == "table":
-            self._in_table -= 1
-            if self._in_table == 0:
-                headers = self._header_row
-                if headers is None and self._rows:
-                    headers = self._rows.pop(0)
-                if headers:
-                    ncol = len(headers)
-                    rows = [(r + [None] * ncol)[:ncol] for r in self._rows]
-                    name = (_WS_RE.sub(" ", "".join(self._caption)).strip()
-                            if self._caption else f"table_{len(self.tables) + 1}")
-                    self.tables.append({"table_name": name, "headers": headers,
-                                        "rows": rows})
-
-    def handle_data(self, data: str) -> None:
-        if self._cell is not None:
-            self._cell.append(data)
-        elif self._caption is not None:
-            self._caption.append(data)
-
-
 class HtmlMainContentExtractor:
     """Warmed-state extractor: compile-once config, called per document.
 
@@ -247,7 +239,7 @@ class HtmlMainContentExtractor:
         self.max_link_density = max_link_density
 
     def extract(self, html: str) -> dict[str, Any]:
-        parser = _ContentParser()
+        parser = _PageParser()
         try:
             parser.feed(html)
             parser.close()
@@ -265,14 +257,8 @@ class HtmlMainContentExtractor:
             pieces.append(text)
             spans.append({"start": pos, "end": pos + len(text), "kind": tag})
             pos += len(text)
-        tp = _TableParser()
-        try:
-            tp.feed(html)
-            tp.close()
-        except Exception:
-            pass
         return {"extracted_text": BLOCK_JOIN.join(pieces), "spans": spans,
-                "blocks": blocks, "tables": tp.tables}
+                "blocks": blocks, "tables": parser.tables}
 
 
 def extract_main_content(html: str) -> dict[str, Any]:
