@@ -57,19 +57,27 @@ def parse_pages(ds: "ray.data.Dataset", *,
 
 
 def read_pages(paths: Union[str, list[str]], *, columns: Optional[list[str]] = None,
+               lang: Optional[str] = None,
                override_num_blocks: Optional[int] = None) -> "ray.data.Dataset":
     """Read a pages corpus. All five envelope input columns are needed by the
-    parse stage, so no pruning by default; pass ``columns`` for partial runs."""
+    parse stage, so no column pruning by default; pass ``columns`` for partial
+    runs. ``lang`` pushes a row filter into the parquet read (row-group
+    pruning — filtered rows never leave storage)."""
+    import pyarrow.compute as pc
+
     kwargs = {}
     if override_num_blocks is not None:
         kwargs["override_num_blocks"] = override_num_blocks
+    if lang is not None:
+        kwargs["filter"] = pc.field("lang") == lang
     return ray.data.read_parquet(paths, columns=columns, **kwargs)
 
 
 def extract_pipeline(paths: Union[str, list[str]], *,
                      batch_size: int = DEFAULT_BATCH_SIZE,
                      concurrency: Optional[Union[int, tuple[int, int]]] = None,
+                     lang: Optional[str] = None,
                      ) -> "ray.data.Dataset":
-    """read_parquet -> DocumentParser actor pool. Lazy; caller consumes."""
-    return parse_pages(read_pages(paths), batch_size=batch_size,
+    """read_parquet (optional pushed-down lang filter) -> parse. Lazy."""
+    return parse_pages(read_pages(paths, lang=lang), batch_size=batch_size,
                        concurrency=concurrency)

@@ -1,0 +1,63 @@
+"""Composed end-to-end job: lang pushdown, url dedup latest-wins, envelope
+write + domain histogram; merge-records variant."""
+
+import glob
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+import ray.data as rd
+
+from pdfextraction_ray.fixtures import build_corpus_table, write_corpus
+from pdfextraction_ray.pipelines.extract_pipeline import extract_pipeline
+from pdfextraction_ray.pipelines.full_pipeline import (dedup_latest_by_url,
+                                                       run_full_pipeline)
+
+
+@pytest.fixture(scope="module")
+def corpus_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("fp_in")
+    write_corpus(str(d), 120, seed=11, n_shards=3)
+    return str(d)
+
+
+def test_lang_pushdown(corpus_dir, ray_session):
+    paths = sorted(glob.glob(corpus_dir + "/*.parquet"))
+    all_rows = extract_pipeline(paths).count()
+    en_rows = extract_pipeline(paths, lang="en").count()
+    truth = sum(pq.read_table(p, columns=["lang"]).to_pandas()
+                .lang.eq("en").sum() for p in paths)
+    assert en_rows == truth < all_rows
+
+
+def test_dedup_latest_by_url(ray_session, tmp_path):
+    # two crawls of the same urls with different warc_ts
+    t1 = build_corpus_table(20, seed=11)
+    bumped = pa.compute.add(t1.column("warc_ts").cast(pa.int64()),
+                            10**9).cast(pa.timestamp("us"))
+    t2 = t1.set_column(t1.schema.get_field_index("warc_ts"), "warc_ts", bumped)
+    from pdfextraction_ray.pipelines.extract_pipeline import parse_pages
+    parsed = parse_pages(rd.from_arrow(pa.concat_tables([t1, t2])))
+    out = dedup_latest_by_url(parsed).to_pandas()
+    assert len(out) == 20
+    newest = pq_ts = t2.column("warc_ts").to_pylist()
+    assert sorted(out["warc_ts"].tolist()) == sorted(newest)
+
+
+def test_run_full_pipeline(corpus_dir, ray_session, tmp_path):
+    out = str(tmp_path / "out")
+    summary = run_full_pipeline(sorted(glob.glob(corpus_dir + "/*.parquet")),
+                                out, dedup=True)
+    assert summary["written_rows"] == 120
+    assert summary["domains"] >= 2
+    top = summary["top_domains"][0]
+    assert top["n_docs"] >= summary["top_domains"][-1]["n_docs"]
+
+
+def test_run_full_pipeline_merge_variant(corpus_dir, ray_session, tmp_path):
+    out = str(tmp_path / "outm")
+    summary = run_full_pipeline(sorted(glob.glob(corpus_dir + "/*.parquet")),
+                                out, dedup=False, merge_records=True)
+    assert summary["written_rows"] == 120
+    merged = rd.read_parquet(out).to_pandas()
+    assert {"merged_fields", "merged_tables", "anomalies"} <= set(merged.columns)
