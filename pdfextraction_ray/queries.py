@@ -436,10 +436,10 @@ def q_value_patterns(sf_dir: str) -> pa.Table:
 
 SQL_VALUE_PATTERNS = r"""
 SELECT COUNT(*) AS n_docs,
-       SUM(CASE WHEN regexp_matches(text, '\d{1,2}/\d{1,2}/\d{4}') THEN 1 ELSE 0 END) AS n_with_date,
-       SUM(CASE WHEN regexp_matches(text, '\d{3}-\d{3}-\d{4}') THEN 1 ELSE 0 END) AS n_with_phone,
-       SUM(CASE WHEN regexp_matches(text, '\d{3}-\d{2}-\d{4}') THEN 1 ELSE 0 END) AS n_with_ssn,
-       SUM(CASE WHEN regexp_matches(text, '\btable\b') THEN 1 ELSE 0 END) AS n_with_table_word
+       CAST(SUM(CASE WHEN regexp_matches(text, '\d{1,2}/\d{1,2}/\d{4}') THEN 1 ELSE 0 END) AS BIGINT) AS n_with_date,
+       CAST(SUM(CASE WHEN regexp_matches(text, '\d{3}-\d{3}-\d{4}') THEN 1 ELSE 0 END) AS BIGINT) AS n_with_phone,
+       CAST(SUM(CASE WHEN regexp_matches(text, '\d{3}-\d{2}-\d{4}') THEN 1 ELSE 0 END) AS BIGINT) AS n_with_ssn,
+       CAST(SUM(CASE WHEN regexp_matches(text, '\btable\b') THEN 1 ELSE 0 END) AS BIGINT) AS n_with_table_word
 FROM documents
 """
 
@@ -463,8 +463,8 @@ def q_token_stats(sf_dir: str) -> pa.Table:
 
 SQL_TOKEN_STATS = r"""
 SELECT lang, COUNT(*) AS n_docs,
-       SUM(CAST(LENGTH(regexp_extract_all(text, '\S+')) AS BIGINT)) AS sum_tokens,
-       SUM(n_chars) AS sum_chars
+       CAST(SUM(LENGTH(regexp_extract_all(text, '\S+'))) AS BIGINT) AS sum_tokens,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars
 FROM documents GROUP BY lang ORDER BY lang
 """
 

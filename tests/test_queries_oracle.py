@@ -47,6 +47,9 @@ def test_query_matches_oracle(name, con, ray_session):
     theirs = _canon(con.sql(ORACLES[name]).df())
     assert list(ours.columns) == list(theirs.columns), \
         f"{name}: columns {list(ours.columns)} vs {list(theirs.columns)}"
+    for col in ours.columns:  # dtype-kind parity (int vs float trips the driver)
+        assert ours[col].dtype.kind == theirs[col].dtype.kind, \
+            f"{name}.{col}: dtype {ours[col].dtype} vs {theirs[col].dtype}"
     assert len(ours) == len(theirs), f"{name}: rows {len(ours)} vs {len(theirs)}"
     for col in ours.columns:
         a, b = ours[col], theirs[col]
