@@ -1,0 +1,106 @@
+"""CLI: ``python -m pdfextraction_ray <command>``.
+
+Commands:
+  run      resumable flagship extraction over a corpus directory
+  full     composed job (parse -> dedup -> histogram) without checkpoints
+  gen      generate a deterministic synthetic corpus (FIXTURES.md F1)
+  stats    print per-stage ds.stats() for a pipeline run (tuning aid)
+
+Owns the Ray session (scripts do; library code never does).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _init_ray(num_cpus: int | None) -> None:
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", include_dashboard=False,
+                 ignore_reinit_error=True, logging_level="ERROR",
+                 **({"num_cpus": num_cpus} if num_cpus else {}))
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(prog="pdfextraction_ray")
+    ap.add_argument("--num-cpus", type=int, default=None)
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    p_run = sub.add_parser("run", help="resumable extraction run")
+    p_run.add_argument("--input", required=True, help="corpus dir of parquet shards")
+    p_run.add_argument("--out", required=True)
+    p_run.add_argument("--files-per-partition", type=int, default=1)
+
+    p_full = sub.add_parser("full", help="composed parse+dedup+histogram job")
+    p_full.add_argument("--input", required=True)
+    p_full.add_argument("--out", required=True)
+    p_full.add_argument("--lang", default=None)
+    p_full.add_argument("--no-dedup", action="store_true")
+
+    p_gen = sub.add_parser("gen", help="generate synthetic corpus")
+    p_gen.add_argument("--out", required=True)
+    p_gen.add_argument("--rows", type=int, default=10000)
+    p_gen.add_argument("--seed", type=int, default=42)
+    p_gen.add_argument("--shards", type=int, default=8)
+
+    p_stats = sub.add_parser("stats", help="run pipeline and print ds.stats()")
+    p_stats.add_argument("--input", required=True)
+
+    args = ap.parse_args(argv)
+
+    if args.cmd == "gen":
+        from .fixtures import write_corpus
+
+        paths = write_corpus(args.out, args.rows, seed=args.seed,
+                             n_shards=args.shards)
+        print(json.dumps({"written_files": len(paths), "rows": args.rows}))
+        return 0
+
+    _init_ray(args.num_cpus)
+    import ray
+
+    try:
+        if args.cmd == "run":
+            from .pipelines.runner import run_resumable
+
+            summary = run_resumable(args.input, args.out,
+                                    files_per_partition=args.files_per_partition)
+            print(json.dumps(summary))
+        elif args.cmd == "full":
+            import glob
+            import os
+
+            from .pipelines.full_pipeline import run_full_pipeline
+
+            paths = sorted(glob.glob(os.path.join(args.input, "*.parquet")))
+            summary = run_full_pipeline(paths, args.out, lang=args.lang,
+                                        dedup=not args.no_dedup)
+            print(json.dumps(summary))
+        elif args.cmd == "stats":
+            import glob
+            import os
+            import shutil
+
+            from .pipelines.extract_pipeline import extract_pipeline
+
+            paths = sorted(glob.glob(os.path.join(args.input, "*.parquet")))
+            tmp = "/tmp/pdfextraction_ray_stats_out"
+            shutil.rmtree(tmp, ignore_errors=True)
+            ds = extract_pipeline(paths)
+            ds.write_parquet(tmp)
+            print(ds.stats())
+            shutil.rmtree(tmp, ignore_errors=True)
+    finally:
+        ray.shutdown()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -45,7 +45,10 @@ _LANG_PROFILES = {
            "ich", "nde", " un", "und", "che"),
     "fr": (" de", "de ", " le", "es ", "le ", "ent", "nt ", "et ", " la", "la ",
            "ion", " et", "re ", " pa", "que"),
+    "es": (" de", "de ", " la", "la ", "os ", " co", "el ", " el", "as ", "que",
+           " qu", "ue ", "en ", " en", "ión"),
 }
+_LANG_ORDER = ("en", "de", "fr", "es")
 
 
 def count_regex(col: pa.ChunkedArray | pa.Array, pattern: str) -> pa.Array:
@@ -82,18 +85,22 @@ def quality_columns(batch: pa.Table, text_col: str = "text") -> pa.Table:
 
 
 def detect_language(text: str) -> str:
-    """Trigram-vote language ID over a bounded prefix; 'und' when no profile
-    scores. Deterministic; ties broken by profile order en > de > fr."""
+    """Trigram-vote language ID over a bounded prefix, with a CJK-codepoint
+    ratio check for 'zh'; 'und' when nothing scores. Deterministic; trigram
+    ties broken by fixed profile order en > de > fr > es."""
     sample = text[:2000].lower()
     if len(sample) < 20:
         return "und"
+    n_cjk = sum(1 for ch in sample if "一" <= ch <= "鿿")
+    if n_cjk >= max(10, len(sample) // 20):
+        return "zh"
     scores = {}
     for lang, grams in _LANG_PROFILES.items():
         scores[lang] = sum(sample.count(g) for g in grams)
     best = max(scores.values())
     if best == 0:
         return "und"
-    for lang in ("en", "de", "fr"):
+    for lang in _LANG_ORDER:
         if scores[lang] == best:
             return lang
     return "und"
