@@ -89,14 +89,27 @@ class DocumentParser:
     step-1/2/3 analogues. Unknown payloads produce a parse_ok=False row.
     """
 
+    # Reference upload cap is 16 MB (reference config.py:13); word cap bounds
+    # the O(n log n + lines*clusters) geometry work per doc (SURVEY §4
+    # timeouts row: "cap per-doc work").
+    MAX_PAYLOAD_BYTES = 16 * 1024 * 1024
+    MAX_WORDS = 200_000
+
     def __init__(self, min_text_chars: int = 25,
-                 proximity_multiplier: float = G.PROXIMITY_MULTIPLIER):
+                 proximity_multiplier: float = G.PROXIMITY_MULTIPLIER,
+                 max_payload_bytes: int = MAX_PAYLOAD_BYTES,
+                 max_words: int = MAX_WORDS):
         self.html = HtmlMainContentExtractor(min_text_chars=min_text_chars)
         self.proximity_multiplier = proximity_multiplier
+        self.max_payload_bytes = max_payload_bytes
+        self.max_words = max_words
 
     # -- per-document parsers ----------------------------------------------
     def _parse_words(self, payload: bytes) -> dict[str, Any]:
         words = decode_words(payload)
+        if len(words) > self.max_words:
+            raise ValueError(f"word count {len(words)} exceeds the "
+                             f"{self.max_words}-word per-document cap")
         page = X.parse_word_page(words)  # one pass for text + all 3 steps
         text = page["extracted_text"]
         # span lineage: one span per formatted line of the byte-exact text
@@ -155,6 +168,11 @@ class DocumentParser:
             payload = payloads[i].as_py()
             bytes_in = len(payload) if payload else 0
             try:
+                if bytes_in > self.max_payload_bytes:
+                    raise ValueError(
+                        f"payload {bytes_in} bytes exceeds the "
+                        f"{self.max_payload_bytes}-byte cap (reference 16 MB "
+                        f"upload limit)")
                 kind = payload_kind(payload) if payload else "empty"
                 if kind == KIND_WORDS:
                     rec = self._parse_words(payload)
