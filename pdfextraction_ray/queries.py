@@ -445,6 +445,38 @@ FROM documents
 
 
 # ---------------------------------------------------------------------------
+# F7/M16-M17: JSON payload parsing over events.props (repair->extract->
+# fallback ladder per row, failures counted not fatal)
+# ---------------------------------------------------------------------------
+
+def q_props_json_sum(sf_dir: str) -> pa.Table:
+    from .functions.jsonops import extract_json_from_response
+
+    def parse_props(t: pa.Table) -> pa.Table:
+        ks = []
+        for s in t.column("props").to_pylist():
+            obj = extract_json_from_response(s or "")
+            # fallback policy: unparseable payload contributes 0, row kept
+            ks.append(obj["k"] if obj and isinstance(obj.get("k"), int) else 0)
+        return pa.Table.from_pydict({
+            "event_type": t["event_type"], "k": pa.array(ks, pa.int64())})
+
+    ds = rd.read_parquet(_p(sf_dir, "events"), columns=["event_type", "props"])
+    ds = ds.map_batches(parse_props, batch_format="pyarrow")
+    agg = ds.groupby("event_type").aggregate(
+        Count(alias_name="n_events"), Sum("k", alias_name="sum_k"))
+    t = pa.Table.from_pandas(agg.to_pandas(), preserve_index=False)
+    return t.sort_by("event_type")
+
+
+SQL_PROPS_JSON_SUM = r"""
+SELECT event_type, COUNT(*) AS n_events,
+       CAST(SUM(CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT)) AS BIGINT) AS sum_k
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
 # token counting / quality scoring (text-analysis additions)
 # ---------------------------------------------------------------------------
 
@@ -828,6 +860,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "top_customers": q_top_customers,
     "segment_revenue": q_segment_revenue,
     "value_patterns": q_value_patterns,
+    "props_json_sum": q_props_json_sum,
     "token_stats": q_token_stats,
     "quality_filter": q_quality_filter,
     "exact_dedup": q_exact_dedup,
@@ -858,6 +891,7 @@ ORACLES: dict[str, str] = {
     "top_customers": SQL_TOP_CUSTOMERS,
     "segment_revenue": SQL_SEGMENT_REVENUE,
     "value_patterns": SQL_VALUE_PATTERNS,
+    "props_json_sum": SQL_PROPS_JSON_SUM,
     "token_stats": SQL_TOKEN_STATS,
     "quality_filter": SQL_QUALITY_FILTER,
     "exact_dedup": SQL_EXACT_DEDUP,
