@@ -38,11 +38,15 @@ def _p(sf_dir: str, table: str) -> str:
 
 
 def _round4(table: pa.Table, cols: list[str]) -> pa.Table:
+    """Round to 4 decimals then narrow to float32, mirrored by
+    CAST(CAST(ROUND(x, 4) AS REAL) AS REAL) in every oracle: the float32 narrowing absorbs
+    last-ulp differences between the two engines' ROUND implementations
+    (measured ~1e-14 relative), which would break an exact value-hash."""
     for c in cols:
         idx = table.schema.get_field_index(c)
-        table = table.set_column(
-            idx, c, pc.round(table.column(c), ndigits=4,
-                             round_mode="half_towards_infinity"))
+        rounded = pc.round(table.column(c), ndigits=4,
+                           round_mode="half_towards_infinity")
+        table = table.set_column(idx, c, pc.cast(rounded, pa.float32()))
     return table
 
 
@@ -98,14 +102,14 @@ def q_pricing_summary(sf_dir: str) -> pa.Table:
 
 SQL_PRICING = """
 SELECT l_returnflag, l_linestatus,
-       ROUND(SUM(l_quantity), 4)                                        AS sum_qty,
-       ROUND(SUM(l_extendedprice), 4)                                   AS sum_base_price,
-       ROUND(SUM(l_extendedprice * (1 - l_discount)), 4)                AS sum_disc_price,
-       ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 4)  AS sum_charge,
+       CAST(ROUND(SUM(l_quantity), 4) AS REAL)                                        AS sum_qty,
+       CAST(ROUND(SUM(l_extendedprice), 4) AS REAL)                                   AS sum_base_price,
+       CAST(ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS REAL)                AS sum_disc_price,
+       CAST(ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 4) AS REAL)  AS sum_charge,
        COUNT(*)                                                         AS count_order,
-       ROUND(SUM(l_quantity) / COUNT(*), 4)                             AS avg_qty,
-       ROUND(SUM(l_extendedprice) / COUNT(*), 4)                        AS avg_price,
-       ROUND(SUM(l_discount) / COUNT(*), 4)                             AS avg_disc
+       CAST(ROUND(SUM(l_quantity) / COUNT(*), 4) AS REAL)                             AS avg_qty,
+       CAST(ROUND(SUM(l_extendedprice) / COUNT(*), 4) AS REAL)                        AS avg_price,
+       CAST(ROUND(SUM(l_discount) / COUNT(*), 4) AS REAL)                             AS avg_disc
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02'
 GROUP BY l_returnflag, l_linestatus
@@ -149,7 +153,7 @@ def q_events_by_type(sf_dir: str) -> pa.Table:
 
 
 SQL_EVENTS_BY_TYPE = """
-SELECT event_type, COUNT(*) AS n_events, ROUND(SUM(value), 4) AS total_value,
+SELECT event_type, COUNT(*) AS n_events, CAST(ROUND(SUM(value), 4) AS REAL) AS total_value,
        COUNT(DISTINCT user_id) AS n_users
 FROM events GROUP BY event_type ORDER BY event_type
 """
@@ -173,7 +177,7 @@ def q_events_window(sf_dir: str) -> pa.Table:
 
 
 SQL_EVENTS_WINDOW = """
-SELECT event_type, COUNT(*) AS n_events, ROUND(SUM(value), 4) AS total_value
+SELECT event_type, COUNT(*) AS n_events, CAST(ROUND(SUM(value), 4) AS REAL) AS total_value
 FROM events
 WHERE ts >= TIMESTAMP '2024-01-15' AND ts < TIMESTAMP '2024-01-22'
 GROUP BY event_type ORDER BY event_type
@@ -204,7 +208,7 @@ def q_user_hourly_windows(sf_dir: str) -> pa.Table:
 
 SQL_USER_HOURLY = """
 SELECT user_id, CAST(FLOOR(EPOCH(ts) / 3600) AS BIGINT) AS window_id,
-       COUNT(*) AS n_events, ROUND(SUM(value), 4) AS sum_value
+       COUNT(*) AS n_events, CAST(ROUND(SUM(value), 4) AS REAL) AS sum_value
 FROM events GROUP BY 1, 2 ORDER BY user_id, window_id
 """
 
@@ -280,7 +284,7 @@ def q_customer_nation_balance(sf_dir: str) -> pa.Table:
 
 
 SQL_CUSTOMER_NATION = """
-SELECT n.n_name, COUNT(*) AS n_customers, ROUND(SUM(c.c_acctbal), 4) AS total_acctbal
+SELECT n.n_name, COUNT(*) AS n_customers, CAST(ROUND(SUM(c.c_acctbal), 4) AS REAL) AS total_acctbal
 FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
 GROUP BY n.n_name ORDER BY n.n_name
 """
@@ -304,7 +308,7 @@ def q_supplier_volume(sf_dir: str) -> pa.Table:
 
 
 SQL_SUPPLIER_VOLUME = """
-SELECT s.s_name, COUNT(*) AS n_items, ROUND(SUM(l.l_quantity), 4) AS sum_qty
+SELECT s.s_name, COUNT(*) AS n_items, CAST(ROUND(SUM(l.l_quantity), 4) AS REAL) AS sum_qty
 FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
 GROUP BY s.s_name ORDER BY s.s_name
 """
@@ -326,7 +330,7 @@ def q_orders_priority(sf_dir: str) -> pa.Table:
 
 
 SQL_ORDERS_PRIORITY = """
-SELECT o_orderpriority, COUNT(*) AS n_orders, ROUND(SUM(o_totalprice), 4) AS sum_totalprice
+SELECT o_orderpriority, COUNT(*) AS n_orders, CAST(ROUND(SUM(o_totalprice), 4) AS REAL) AS sum_totalprice
 FROM orders
 WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
 GROUP BY o_orderpriority ORDER BY o_orderpriority
@@ -350,7 +354,7 @@ def q_part_brand_stats(sf_dir: str) -> pa.Table:
 
 
 SQL_PART_BRAND = """
-SELECT p_brand, COUNT(*) AS n_parts, ROUND(SUM(p_retailprice), 4) AS sum_price
+SELECT p_brand, COUNT(*) AS n_parts, CAST(ROUND(SUM(p_retailprice), 4) AS REAL) AS sum_price
 FROM part WHERE p_type LIKE '%PROMO%'
 GROUP BY p_brand ORDER BY p_brand
 """
@@ -403,7 +407,7 @@ def q_segment_revenue(sf_dir: str) -> pa.Table:
 
 SQL_SEGMENT_REVENUE = """
 SELECT c.c_mktsegment, COUNT(*) AS n_items,
-       ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue
+       CAST(ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 4) AS REAL) AS revenue
 FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
 JOIN customer c ON o.o_custkey = c.c_custkey
 GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment
@@ -679,7 +683,7 @@ sess AS (
                            ROWS UNBOUNDED PRECEDING) AS sid
   FROM marked)
 SELECT user_id, MIN(ts) AS session_start, MAX(ts) AS session_end,
-       COUNT(*) AS n_events, ROUND(SUM(value), 4) AS sum_value
+       COUNT(*) AS n_events, CAST(ROUND(SUM(value), 4) AS REAL) AS sum_value
 FROM sess GROUP BY user_id, sid
 ORDER BY user_id, session_start
 """
@@ -706,8 +710,8 @@ def q_value_percentiles(sf_dir: str) -> pa.Table:
 
 SQL_VALUE_PERCENTILES = """
 SELECT event_type,
-       ROUND(percentile_cont(0.50) WITHIN GROUP (ORDER BY value), 4) AS p50,
-       ROUND(percentile_cont(0.95) WITHIN GROUP (ORDER BY value), 4) AS p95,
+       CAST(ROUND(percentile_cont(0.50) WITHIN GROUP (ORDER BY value), 4) AS REAL) AS p50,
+       CAST(ROUND(percentile_cont(0.95) WITHIN GROUP (ORDER BY value), 4) AS REAL) AS p95,
        COUNT(*) AS n
 FROM events GROUP BY event_type ORDER BY event_type
 """
@@ -733,7 +737,7 @@ def q_orders_customer_join(sf_dir: str) -> pa.Table:
 
 SQL_ORDERS_CUSTOMER_JOIN = """
 SELECT c.c_mktsegment, COUNT(*) AS n_orders,
-       ROUND(SUM(o.o_totalprice), 4) AS sum_totalprice
+       CAST(ROUND(SUM(o.o_totalprice), 4) AS REAL) AS sum_totalprice
 FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
 GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment
 """
