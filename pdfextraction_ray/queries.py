@@ -532,6 +532,35 @@ ORDER BY doc_id
 
 
 # ---------------------------------------------------------------------------
+# composed curation pipeline: quality filter + langid + exact dedup in one
+# streaming graph (pipelines/curation.py); oracle covers the SQL-expressible
+# columns (doc_id, n_tokens)
+# ---------------------------------------------------------------------------
+
+def q_curated_documents(sf_dir: str) -> pa.Table:
+    from .pipelines.curation import curate_documents
+
+    ds = rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+    out = curate_documents(ds).to_pandas()
+    return pa.Table.from_pydict({
+        "doc_id": pa.array(out["doc_id"], pa.int64()),
+        "n_tokens": pa.array(out["n_tokens"], pa.int64())}).sort_by("doc_id")
+
+
+SQL_CURATED_DOCUMENTS = r"""
+WITH S AS (
+  SELECT doc_id, text,
+         CAST(LENGTH(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens,
+         CAST(LENGTH(regexp_extract_all(text, '[.,;:!?]')) AS BIGINT) AS n_punct,
+         CAST(LENGTH(text) AS BIGINT) AS n_chars
+  FROM documents),
+Q AS (SELECT * FROM S WHERE n_tokens >= 50 AND n_punct * 10 <= n_chars)
+SELECT MIN(doc_id) AS doc_id, MIN(n_tokens) AS n_tokens
+FROM Q GROUP BY md5(text) ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # D1 at corpus scale: exact dedup via content hash
 # ---------------------------------------------------------------------------
 
@@ -867,6 +896,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "props_json_sum": q_props_json_sum,
     "token_stats": q_token_stats,
     "quality_filter": q_quality_filter,
+    "curated_documents": q_curated_documents,
     "exact_dedup": q_exact_dedup,
     "embedding_topk": q_embedding_topk,
     "embedding_ann_lsh": q_embedding_ann_lsh,
@@ -898,6 +928,7 @@ ORACLES: dict[str, str] = {
     "props_json_sum": SQL_PROPS_JSON_SUM,
     "token_stats": SQL_TOKEN_STATS,
     "quality_filter": SQL_QUALITY_FILTER,
+    "curated_documents": SQL_CURATED_DOCUMENTS,
     "exact_dedup": SQL_EXACT_DEDUP,
     "embedding_topk": SQL_EMBEDDING_TOPK,
     "embedding_near_dup_pairs": SQL_EMBEDDING_NEAR_DUP,

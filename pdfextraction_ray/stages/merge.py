@@ -140,6 +140,47 @@ def merge_url_group(group: pa.Table) -> pa.Table:
         schema=MERGED_SCHEMA)
 
 
+CLEAN_SCHEMA = pa.schema([
+    ("url", pa.string()),
+    ("extracted_fields", pa.list_(pa.struct([("name", pa.string()),
+                                             ("value", pa.string())]))),
+    ("extracted_tables", pa.list_(pa.struct([
+        ("table_name", pa.string()), ("headers", pa.list_(pa.string())),
+        ("data", pa.list_(pa.list_(pa.string()))), ("total_rows", pa.int32())]))),
+    ("total_fields", pa.int32()),
+    ("total_tables", pa.int32()),
+    ("total_table_rows", pa.int32()),
+    ("successful_pages", pa.int32()),
+    ("failed_pages", pa.int32()),
+])
+
+
+def clean_final_view(batch: pa.Table) -> pa.Table:
+    """Project merged rows to the clean user-facing output (the analogue of
+    reference services/result_merger.py:168-210 create_final_json_output):
+    conflict/source metadata stripped, per-doc processing summary kept."""
+    rows = batch.to_pylist()
+    out: dict[str, list] = {name: [] for name in CLEAN_SCHEMA.names}
+    for r in rows:
+        fields = [{"name": f["name"], "value": f["value"]}
+                  for f in (r.get("merged_fields") or [])]
+        tables = [{"table_name": t["table_name"], "headers": list(t["headers"]),
+                   "data": [list(row) for row in t["rows"]],
+                   "total_rows": len(t["rows"])}
+                  for t in (r.get("merged_tables") or [])]
+        out["url"].append(r["url"])
+        out["extracted_fields"].append(fields)
+        out["extracted_tables"].append(tables)
+        out["total_fields"].append(len(fields))
+        out["total_tables"].append(len(tables))
+        out["total_table_rows"].append(sum(t["total_rows"] for t in tables))
+        out["successful_pages"].append(r.get("successful_pages", 0))
+        out["failed_pages"].append(r.get("failed_pages", 0))
+    return pa.Table.from_pydict(
+        {k: pa.array(v, CLEAN_SCHEMA.field(k).type) for k, v in out.items()},
+        schema=CLEAN_SCHEMA)
+
+
 def merge_pages_by_url(ds: "Any") -> "Any":
     """Dataset-level merge: one output row per url. This is the one wide
     (all-to-all) stage of the flagship pipeline; key = url."""

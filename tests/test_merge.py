@@ -98,3 +98,21 @@ def test_merge_dataset_level(ray_session):
     assert len(out) == 2
     assert out.loc["a", "total_pages"] == 2
     assert out.loc["b", "total_pages"] == 1
+
+
+def test_clean_final_view():
+    from pdfextraction_ray.stages.merge import clean_final_view
+    pages = [
+        page("u", 1, fields=[{"name": "Name", "value": "Caroline"}],
+             tables=[{"table_name": "T", "headers": ["A"], "rows": [["1"], ["2"]]}]),
+        page("u", 2, parse_ok=False),
+    ]
+    merged = merge_url_group(group_table(pages))
+    clean = clean_final_view(merged).to_pylist()[0]
+    assert clean["extracted_fields"] == [{"name": "Name", "value": "Caroline"}]
+    assert clean["extracted_tables"][0]["data"] == [["1"], ["2"]]
+    assert clean["extracted_tables"][0]["total_rows"] == 2
+    assert clean["total_fields"] == 1 and clean["total_tables"] == 1
+    assert clean["successful_pages"] == 1 and clean["failed_pages"] == 1
+    # conflict/source metadata stripped
+    assert "conflict_detected" not in str(clean["extracted_fields"])
