@@ -28,7 +28,7 @@ def entry() -> Any:
 
     n = pq.read_metadata(f"{SF_SMOKE}/documents.parquet").num_rows
     corpus = rd.from_arrow(build_corpus_table(n, seed=42))
-    return parse_pages(corpus, batch_size=64, concurrency=(1, 4))
+    return parse_pages(corpus)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:

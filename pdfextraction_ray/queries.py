@@ -4,8 +4,9 @@ oracle carrying IDENTICAL column names — the driver hash-compares values after
 sorting columns by name.
 
 Conventions (hash-compare safety):
-- float aggregate outputs are rounded half-away-from-zero to 4 digits on BOTH
-  sides (pyarrow round_mode="half_away_from_zero" == DuckDB ROUND)
+- float aggregate outputs are rounded half-away-from-zero to 4 digits and
+  narrowed to float32 on BOTH sides (pyarrow round_mode="half_towards_infinity"
+  == DuckDB ROUND; REAL cast absorbs last-ulp representation differences)
 - counts/lengths are int64 on both sides
 - every pipeline streams: aggregates/top-k are the only driver materializations
 
@@ -39,7 +40,7 @@ def _p(sf_dir: str, table: str) -> str:
 
 def _round4(table: pa.Table, cols: list[str]) -> pa.Table:
     """Round to 4 decimals then narrow to float32, mirrored by
-    CAST(CAST(ROUND(x, 4) AS REAL) AS REAL) in every oracle: the float32 narrowing absorbs
+    CAST(ROUND(x, 4) AS REAL) in every oracle: the float32 narrowing absorbs
     last-ulp differences between the two engines' ROUND implementations
     (measured ~1e-14 relative), which would break an exact value-hash."""
     for c in cols:
@@ -869,7 +870,7 @@ def q_extract_pages(sf_dir: str) -> pa.Table:
     from .fixtures import build_corpus_table
     n = pq.read_metadata(_p(sf_dir, "documents")).num_rows
     corpus = rd.from_arrow(build_corpus_table(n, seed=42))
-    parsed = parse_pages(corpus, batch_size=64, concurrency=(1, 4))
+    parsed = parse_pages(corpus)
     out = parsed.select_columns(["url", "doc_kind", "classification", "parse_ok",
                                  "n_words", "bytes_in", "bytes_out"])
     return pa.Table.from_pandas(out.to_pandas(), preserve_index=False).sort_by("url")

@@ -90,6 +90,53 @@ class ImageDecodeStage:
         return batch.append_column("decode_error", pa.array(errs, pa.string()))
 
 
+AUDIO_META_TYPE = pa.struct([("sample_rate", pa.int32()),
+                             ("n_samples", pa.int64()),
+                             ("duration_s", pa.float32())])
+
+
+class AudioFeatureStage:
+    """Audio decode + feature-extract plumbing: binary "audio" -> metadata +
+    fixed-width band-energy features. No audio codec ships in this container,
+    so the decode kernel is the deterministic fake (seeded PCM from the
+    payload digest) unless soundfile/librosa appear; the Ray-side shape —
+    small batches, actor pool, payload dropped at the stage — is real."""
+
+    def __init__(self, audio_col: str = "audio", n_bands: int = 8,
+                 allow_fake: bool = False):
+        try:  # pragma: no cover - not installed here
+            import soundfile  # type: ignore # noqa: F401
+            self._have_codec = True
+        except ImportError:
+            self._have_codec = False
+        if not self._have_codec and not allow_fake:
+            raise NotImplementedError(
+                "audio decode requires soundfile (not installed); pass "
+                "allow_fake=True for the deterministic stand-in")
+        self.audio_col = audio_col
+        self.n_bands = n_bands
+
+    def _decode(self, payload: bytes) -> tuple[np.ndarray, int]:
+        digest = hashlib.sha256(payload).digest()
+        rng = np.random.RandomState(int.from_bytes(digest[:4], "little"))
+        n = 1600 + int.from_bytes(digest[4:6], "little") % 14400
+        return rng.standard_normal(n).astype(np.float32), 16000
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        metas, feats = [], []
+        for payload in batch.column(self.audio_col).to_pylist():
+            pcm, sr = self._decode(payload or b"")
+            bands = np.array_split(np.abs(np.fft.rfft(pcm)), self.n_bands)
+            energy = [float(np.mean(b)) for b in bands]
+            metas.append({"sample_rate": sr, "n_samples": len(pcm),
+                          "duration_s": len(pcm) / sr})
+            feats.append(energy)
+        batch = batch.drop_columns([self.audio_col])
+        batch = batch.append_column("audio_meta", pa.array(metas, AUDIO_META_TYPE))
+        return batch.append_column("audio_features",
+                                   pa.array(feats, pa.list_(pa.float64())))
+
+
 class FrameSampleStage:
     """Video-frame sampling plumbing: binary "video" -> every k-th fake frame
     digest (stub kernel, real fan-out shape: one row in, n rows out)."""

@@ -82,3 +82,19 @@ def test_domain_of():
     assert domain_of("https://a.b.c/path/x") == "a.b.c"
     assert domain_of("http://h") == "h"
     assert domain_of("no-scheme/path") == "no-scheme"
+
+
+def test_audio_feature_stage():
+    from pdfextraction_ray.stages.multimodal import AudioFeatureStage
+    t = pa.Table.from_pydict({"url": ["a", "b"],
+                              "audio": [b"wavbytes1", b"wavbytes2"]})
+    with pytest.raises(NotImplementedError):
+        AudioFeatureStage(allow_fake=False)
+    out1 = AudioFeatureStage(allow_fake=True)(t)
+    out2 = AudioFeatureStage(allow_fake=True)(t)
+    assert out1.column("audio_features").to_pylist() == \
+        out2.column("audio_features").to_pylist()
+    assert "audio" not in out1.column_names
+    meta = out1.column("audio_meta").to_pylist()[0]
+    assert meta["sample_rate"] == 16000 and meta["n_samples"] > 0
+    assert len(out1.column("audio_features").to_pylist()[0]) == 8
