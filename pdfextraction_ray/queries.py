@@ -316,6 +316,75 @@ GROUP BY s.s_name ORDER BY s.s_name
 
 
 # ---------------------------------------------------------------------------
+# semi / anti joins via broadcast key set (the Bloom-filter-shaped pattern:
+# ship the small side's key set once, filter inside map_batches — no shuffle)
+# ---------------------------------------------------------------------------
+
+def q_lineitem_semi_join(sf_dir: str) -> pa.Table:
+    """Lineitems of high-value orders (o_totalprice > 400000): semi-join via a
+    broadcast key set; result is a small grouped rollup."""
+    orders = pq.read_table(_p(sf_dir, "orders"), columns=["o_orderkey", "o_totalprice"])
+    keys = {k for k, v in zip(orders.column("o_orderkey").to_pylist(),
+                              orders.column("o_totalprice").to_pylist())
+            if v > 400000}
+    ref = ray.put(keys)
+
+    def semi(t: pa.Table) -> pa.Table:
+        s = ray.get(ref)
+        mask = [k in s for k in t.column("l_orderkey").to_pylist()]
+        return t.filter(pa.array(mask, pa.bool_()))
+
+    ds = rd.read_parquet(_p(sf_dir, "lineitem"),
+                         columns=["l_orderkey", "l_returnflag", "l_quantity"])
+    agg = ds.map_batches(semi, batch_format="pyarrow") \
+        .groupby("l_returnflag").aggregate(
+            Count(alias_name="n_items"), Sum("l_quantity", alias_name="sum_qty"))
+    t = pa.Table.from_pandas(agg.to_pandas(), preserve_index=False)
+    return _round4(t, ["sum_qty"]).sort_by("l_returnflag")
+
+
+SQL_LINEITEM_SEMI_JOIN = """
+SELECT l_returnflag, COUNT(*) AS n_items,
+       CAST(ROUND(SUM(l_quantity), 4) AS REAL) AS sum_qty
+FROM lineitem
+WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_totalprice > 400000)
+GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
+def q_customers_without_orders(sf_dir: str) -> pa.Table:
+    """Anti-join: customers with no orders before 1996 — broadcast the
+    order-custkey set, filter NOT IN inside map_batches. (The date filter
+    keeps the anti-set non-empty at every sf.)"""
+    orders = pq.read_table(_p(sf_dir, "orders"), columns=["o_custkey", "o_orderdate"])
+    import datetime
+    cutoff = datetime.datetime(1996, 1, 1)
+    keys = {k for k, d in zip(orders.column("o_custkey").to_pylist(),
+                              orders.column("o_orderdate").to_pylist())
+            if d < cutoff}
+    ref = ray.put(keys)
+
+    def anti(t: pa.Table) -> pa.Table:
+        s = ray.get(ref)
+        mask = [k not in s for k in t.column("c_custkey").to_pylist()]
+        return t.filter(pa.array(mask, pa.bool_()))
+
+    ds = rd.read_parquet(_p(sf_dir, "customer"), columns=["c_custkey", "c_name"])
+    out = ds.map_batches(anti, batch_format="pyarrow").to_pandas()
+    return pa.Table.from_pydict({  # .get: a fully-filtered Dataset loses columns
+        "c_custkey": pa.array(out.get("c_custkey", []), pa.int64()),
+        "c_name": pa.array(out.get("c_name", []), pa.string())}).sort_by("c_custkey")
+
+
+SQL_CUSTOMERS_WITHOUT_ORDERS = """
+SELECT c_custkey, c_name FROM customer
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders
+                        WHERE o_orderdate < TIMESTAMP '1996-01-01')
+ORDER BY c_custkey
+"""
+
+
+# ---------------------------------------------------------------------------
 # read-time pruning + filter + aggregate (orders)
 # ---------------------------------------------------------------------------
 
@@ -890,6 +959,8 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "customer_nation_balance": q_customer_nation_balance,
     "supplier_volume": q_supplier_volume,
     "orders_priority": q_orders_priority,
+    "lineitem_semi_join": q_lineitem_semi_join,
+    "customers_without_orders": q_customers_without_orders,
     "part_brand_stats": q_part_brand_stats,
     "top_customers": q_top_customers,
     "segment_revenue": q_segment_revenue,
@@ -922,6 +993,8 @@ ORACLES: dict[str, str] = {
     "customer_nation_balance": SQL_CUSTOMER_NATION,
     "supplier_volume": SQL_SUPPLIER_VOLUME,
     "orders_priority": SQL_ORDERS_PRIORITY,
+    "lineitem_semi_join": SQL_LINEITEM_SEMI_JOIN,
+    "customers_without_orders": SQL_CUSTOMERS_WITHOUT_ORDERS,
     "part_brand_stats": SQL_PART_BRAND,
     "top_customers": SQL_TOP_CUSTOMERS,
     "segment_revenue": SQL_SEGMENT_REVENUE,
