@@ -817,6 +817,33 @@ FROM events GROUP BY event_type ORDER BY event_type
 
 
 # ---------------------------------------------------------------------------
+# grouped top-k per key (ROW_NUMBER window analogue): per-user best event
+# ---------------------------------------------------------------------------
+
+def q_top_event_per_user(sf_dir: str) -> pa.Table:
+    def top1(g: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(g, sort_keys=[("value", "descending"),
+                                            ("event_id", "ascending")])
+        return g.take(idx[:1])
+
+    ds = rd.read_parquet(_p(sf_dir, "events"),
+                         columns=["user_id", "event_id", "value"])
+    out = ds.groupby("user_id").map_groups(top1, batch_format="pyarrow")
+    return pa.Table.from_pandas(out.to_pandas(), preserve_index=False) \
+        .sort_by("user_id")
+
+
+SQL_TOP_EVENT_PER_USER = """
+SELECT user_id, event_id, value FROM (
+  SELECT user_id, event_id, value,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY value DESC, event_id ASC) AS rn
+  FROM events) WHERE rn = 1
+ORDER BY user_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # native hash join (Ray Dataset.join — both sides distributed; the
 # broadcast pattern above is preferred when one side is small)
 # ---------------------------------------------------------------------------
@@ -975,6 +1002,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "embedding_near_dup_pairs": q_embedding_near_dup_pairs,
     "user_sessions": q_user_sessions,
     "value_percentiles": q_value_percentiles,
+    "top_event_per_user": q_top_event_per_user,
     "orders_customer_join": q_orders_customer_join,
     "minhash_near_dup_pairs": q_minhash_near_dup_pairs,
     "simhash_fingerprints": q_simhash_fingerprints,
@@ -1008,6 +1036,7 @@ ORACLES: dict[str, str] = {
     "embedding_near_dup_pairs": SQL_EMBEDDING_NEAR_DUP,
     "user_sessions": SQL_USER_SESSIONS,
     "value_percentiles": SQL_VALUE_PERCENTILES,
+    "top_event_per_user": SQL_TOP_EVENT_PER_USER,
     "orders_customer_join": SQL_ORDERS_CUSTOMER_JOIN,
     # embedding_ann_lsh, minhash_near_dup_pairs, simhash_fingerprints,
     # doc_fingerprints, language_id, extract_pages: not SQL-expressible
