@@ -2,8 +2,14 @@ import os
 import sys
 
 import pytest
+from hypothesis import settings
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# Deterministic property tests: the suite is a correctness gate; a randomly
+# discovered counterexample should surface in development, not flake a gate.
+settings.register_profile("deterministic", derandomize=True, deadline=None)
+settings.load_profile("deterministic")
 
 REFERENCE_DIR = "/root/reference"
 
