@@ -73,6 +73,11 @@ _DATE_RE = re.compile(r'\d{1,2}/\d{1,2}/\d{4}')
 _PHONE_RE = re.compile(r'\d{3}-\d{3}-\d{4}')
 _SSN_RE = re.compile(r'\d{3}-\d{2}-\d{4}')
 _STRIP_NUMERIC = str.maketrans('', '', '.,-/')
+# compiled alternations, equivalent to any(k in text for k in LIST) — the
+# keyword containment scans dominate is_field_pattern's cost
+_KEYWORDS_RE = re.compile("|".join(map(re.escape, FIELD_KEYWORDS)))
+_COMMON_FIELDS_RE = re.compile("|".join(map(re.escape, COMMON_FIELDS)))
+_ENDINGS_RE = re.compile("(?:" + "|".join(map(re.escape, FIELD_ENDINGS)) + ")$")
 
 
 def derive_word(text: str, x0: float, y0: float, x1: float, y1: float,
@@ -158,8 +163,7 @@ def is_obvious_value_pattern(text: str) -> bool:
     if _SSN_RE.match(text):
         return True
     if text.isupper() and len(text) <= 6:
-        lowered = text.lower()
-        if not any(k in lowered for k in FIELD_KEYWORDS):
+        if not _KEYWORDS_RE.search(text.lower()):
             return True
     return False
 
@@ -180,16 +184,16 @@ def is_field_pattern(cluster: list[Word]) -> bool:
     original = " ".join(w["text"] for w in cluster)
     if is_obvious_value_pattern(original):
         return False
-    if any(k in lowered for k in FIELD_KEYWORDS):
+    if _KEYWORDS_RE.search(lowered):
         return True
-    if any(lowered.endswith(e) for e in FIELD_ENDINGS):
+    if _ENDINGS_RE.search(lowered):
         return True
     texts = [w["text"] for w in cluster]
     if len(texts) >= 2:
         ntitle = sum(1 for t in texts if t and t[0].isupper() and not t.isupper())
         if ntitle >= len(texts) * 0.7:
             return True
-    if any(f in lowered for f in COMMON_FIELDS):
+    if _COMMON_FIELDS_RE.search(lowered):
         return True
     parts = original.split()
     if parts and parts[-1].lower() in LAST_FIELD_WORDS:
