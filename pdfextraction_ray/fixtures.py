@@ -263,6 +263,60 @@ def make_page_row(i: int, seed: int = 42) -> dict[str, Any]:
     return {"url": url, "warc_ts": ts, "html": payload, "text": raw_text, "lang": lang}
 
 
+def build_multipage_corpus_table(n_docs: int, pages_per_doc: int = 3,
+                                 seed: int = 77) -> pa.Table:
+    """F5-style multi-record corpus: ``pages_per_doc`` word-payload records
+    per url. Page 0 carries the form fields (some repeated on page 1 with a
+    LONGER value — exercises the longest-wins conflict path), and one table
+    header set recurs on every page with fresh rows (row accumulation).
+    The page index is encoded in the microsecond digits of warc_ts
+    (``warc_ts % 1000``) so downstream code can recover page order without an
+    extra column."""
+    urls, tss, payloads, texts, langs = [], [], [], [], []
+    for d in range(n_docs):
+        rng = random.Random((seed << 20) ^ d)
+        headers = rng.choice(TABLE_HEADER_SETS)
+        for p in range(pages_per_doc):
+            words: list[dict[str, Any]] = []
+            y = 40.0
+            if p == 0:
+                for label in FIELD_LABELS[:6]:
+                    x = 30.0
+                    for part in label:
+                        w = _word(part, x, y)
+                        words.append(w)
+                        x = w["x1"] + 5.0
+                    words.append(_word(_rand_value(rng), x + 40.0, y + 13.0))
+                    y += 30.0
+            elif p == 1:
+                # repeat the first two labels with longer values beneath
+                for label in FIELD_LABELS[:2]:
+                    x = 30.0
+                    for part in label:
+                        w = _word(part, x, y)
+                        words.append(w)
+                        x = w["x1"] + 5.0
+                    words.append(_word(f"{_rand_value(rng)} {_rand_value(rng)}",
+                                       32.0, y + 13.0))
+                    y += 30.0
+            y += 20.0
+            xs = [40.0 + i * 110.0 for i in range(len(headers))]
+            for h, x in zip(headers, xs):
+                words.append(_word(h, x, y))
+            for _ in range(1 + rng.randrange(2)):
+                y += 15.0
+                for x in xs:
+                    words.append(_word(_rand_value(rng), x, y))
+            urls.append(f"https://multi.example/doc/{d}")
+            tss.append(BASE_TS_US + d * 1_000_000 + p)
+            payloads.append(encode_words(words))
+            texts.append(" ".join(w["text"] for w in G.reading_order(words)))
+            langs.append("en")
+    return pa.Table.from_pydict(
+        {"url": urls, "warc_ts": np.array(tss, dtype="datetime64[us]"),
+         "html": payloads, "text": texts, "lang": langs}, schema=CORPUS_SCHEMA)
+
+
 CORPUS_SCHEMA = pa.schema([
     ("url", pa.string()),
     ("warc_ts", pa.timestamp("us")),

@@ -61,3 +61,40 @@ def test_run_full_pipeline_merge_variant(corpus_dir, ray_session, tmp_path):
     assert summary["written_rows"] == 120
     merged = rd.read_parquet(out).to_pandas()
     assert {"merged_fields", "merged_tables", "anomalies"} <= set(merged.columns)
+
+
+def test_multipage_parse_merge_end_to_end(ray_session):
+    """F5 realism: multi-record corpus -> parse -> page_number from warc_ts ->
+    merge: tables accumulate across pages, repeated fields resolve
+    longest-wins with conflict flags."""
+    import pyarrow.compute as pc
+    from pdfextraction_ray.fixtures import build_multipage_corpus_table
+    from pdfextraction_ray.pipelines.extract_pipeline import parse_pages
+    from pdfextraction_ray.stages.merge import merge_pages_by_url
+
+    corpus = build_multipage_corpus_table(8, pages_per_doc=3)
+    parsed = parse_pages(rd.from_arrow(corpus))
+
+    def add_page_number(t):
+        ts = pc.cast(t["warc_ts"], pa.int64())
+        page = pc.cast(pc.subtract(ts, pc.multiply(pc.divide(ts, 1000), 1000)),
+                       pa.int32())
+        return t.append_column("page_number", page)
+
+    pages = parsed.map_batches(add_page_number, batch_format="pyarrow") \
+        .select_columns(["url", "page_number", "parse_ok", "fields", "tables"])
+    merged = merge_pages_by_url(pages).to_pandas().set_index("url")
+    assert len(merged) == 8
+    assert (merged.total_pages == 3).all()
+    assert (merged.successful_pages == 3).all()
+    row = merged.iloc[0]
+    # the recurring table spans pages and accumulated rows from all of them
+    spanning = [t for t in row.merged_tables if t["spans_multiple_pages"]]
+    assert spanning, "expected a table spanning pages"
+    assert spanning[0]["total_rows"] >= 3
+    assert list(spanning[0]["source_pages"]) == [0, 1, 2]
+    # at least one doc has a field conflict from the page-1 repeat
+    any_conflict = any(
+        any(f["conflict_detected"] for f in fields)
+        for fields in merged.merged_fields)
+    assert any_conflict
