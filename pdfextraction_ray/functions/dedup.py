@@ -135,6 +135,15 @@ def hamming64(a: int, b: int) -> int:
     return bin((a ^ b) & 0xFFFFFFFFFFFFFFFF).count("1")
 
 
+def simhash_bands(sim: int, n_bands: int = 4) -> list[int]:
+    """Split a 64-bit simhash into ``n_bands`` equal bit-bands (LSH keys:
+    two docs within hamming distance < n_bands must share a band)."""
+    width = 64 // n_bands
+    mask = (1 << width) - 1
+    u = sim & 0xFFFFFFFFFFFFFFFF
+    return [(u >> (i * width)) & mask for i in range(n_bands)]
+
+
 # -- batch stages ------------------------------------------------------------
 
 class MinHasher:

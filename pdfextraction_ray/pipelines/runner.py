@@ -51,36 +51,68 @@ def _partition_counters(part_dir: str) -> dict[str, Any]:
             "bytes_in": int(bytes_in), "bytes_out": int(bytes_out)}
 
 
+def _run_one_partition(part_id: int, files: list[str], out_dir: str,
+                       batch_size: int,
+                       concurrency: Optional[Union[int, tuple[int, int]]],
+                       parser_version: str) -> int:
+    t0 = time.perf_counter()
+    part_dir = M.partition_output_dir(out_dir, part_id)
+    ds = parse_pages(rd.read_parquet(files), batch_size=batch_size,
+                     concurrency=concurrency)
+    ds.write_parquet(part_dir)
+    counters = _partition_counters(part_dir)
+    M.write_manifest(out_dir, part_id, input_files=files,
+                     parser_version=parser_version, counters=counters,
+                     wall_time_s=time.perf_counter() - t0)
+    return part_id
+
+
 def run_resumable(input_paths: Union[str, list[str]], out_dir: str, *,
                   files_per_partition: int = 1,
                   batch_size: int = 64,
                   concurrency: Optional[Union[int, tuple[int, int]]] = None,
+                  max_concurrent_partitions: int = 1,
                   parser_version: str = PARSER_VERSION) -> dict[str, Any]:
     """Run the flagship pipeline partition-by-partition with commit manifests.
 
     Returns the job summary (partitions run/skipped + aggregated counters).
     Each partition is its own bounded Ray Data pipeline (streaming within the
     partition); failures leave no manifest, so the partition reruns next time.
+
+    ``max_concurrent_partitions > 1`` keeps several partition pipelines in
+    flight from driver threads (Ray Data supports concurrent executions) —
+    this hides the per-partition tail (last straggling tasks + manifest
+    commit) that otherwise idles the cluster between partitions. Manifest
+    commits stay per-partition atomic regardless.
     """
     if isinstance(input_paths, str):
         input_paths = sorted(glob.glob(os.path.join(input_paths, "*.parquet")))
     partitions = plan_partitions(list(input_paths), files_per_partition)
     done = M.committed_partitions(out_dir, parser_version)
-    ran, skipped = [], []
-    for part_id, files in enumerate(partitions):
-        if part_id in done:
-            skipped.append(part_id)
-            continue
-        t0 = time.perf_counter()
-        part_dir = M.partition_output_dir(out_dir, part_id)
-        ds = parse_pages(rd.read_parquet(files), batch_size=batch_size,
-                         concurrency=concurrency)
-        ds.write_parquet(part_dir)
-        counters = _partition_counters(part_dir)
-        M.write_manifest(out_dir, part_id, input_files=files,
-                         parser_version=parser_version, counters=counters,
-                         wall_time_s=time.perf_counter() - t0)
-        ran.append(part_id)
+    todo = [(pid, files) for pid, files in enumerate(partitions) if pid not in done]
+    skipped = [pid for pid in range(len(partitions)) if pid in done]
+    ran: list[int] = []
+    if max_concurrent_partitions <= 1:
+        for part_id, files in todo:
+            ran.append(_run_one_partition(part_id, files, out_dir, batch_size,
+                                          concurrency, parser_version))
+    else:
+        from concurrent.futures import ThreadPoolExecutor
+        # Warm Ray Data's lazy filesystem imports in the main thread: the
+        # first path resolution imports fsspec submodules, which races (and
+        # fails with partial-module ImportError) when first triggered from
+        # several threads at once.
+        if todo:
+            try:
+                import fsspec.implementations.http  # noqa: F401
+            except ImportError:
+                pass
+            rd.read_parquet(todo[0][1]).schema()
+        with ThreadPoolExecutor(max_workers=max_concurrent_partitions) as pool:
+            futures = [pool.submit(_run_one_partition, pid, files, out_dir,
+                                   batch_size, concurrency, parser_version)
+                       for pid, files in todo]
+            ran = sorted(f.result() for f in futures)
     summary = M.job_summary(out_dir)
     summary["partitions_run"] = ran
     summary["partitions_skipped"] = skipped

@@ -929,6 +929,63 @@ def q_minhash_near_dup_pairs(sf_dir: str) -> pa.Table:
         "jaccard": pa.array([r[2] for r in rows], pa.float64())})
 
 
+def q_simhash_near_dup_pairs(sf_dir: str, max_hamming: int = 6) -> pa.Table:
+    """SimHash near-dup: 64-bit fingerprints -> 4 x 16-bit LSH bands ->
+    groupby(band, value) candidates -> hamming verify. Same count-filter
+    shape as the MinHash path (per-group Python only on real collisions)."""
+    ds = rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    def sim_bands(t: pa.Table) -> pa.Table:
+        ids, bands, vals, sims = [], [], [], []
+        for d, x in zip(t.column("doc_id").to_pylist(),
+                        t.column("text").to_pylist()):
+            s = D.simhash64(x)
+            for bi, bv in enumerate(D.simhash_bands(s)):
+                ids.append(d)
+                bands.append(bi)
+                vals.append(bv)
+                sims.append(s)
+        return pa.Table.from_pydict({
+            "doc_id": pa.array(ids, pa.int64()),
+            "band": pa.array(bands, pa.int32()),
+            "bucket": pa.array(vals, pa.int64()),
+            "simhash": pa.array(sims, pa.int64())})
+
+    exploded = ds.map_batches(sim_bands, batch_format="pyarrow")
+    counts = exploded.groupby(["band", "bucket"]).aggregate(Count(alias_name="n"))
+    dup_keys = counts.filter(expr="n >= 2").to_pandas()
+    if dup_keys.empty:
+        return pa.Table.from_pydict({"doc_a": pa.array([], pa.int64()),
+                                     "doc_b": pa.array([], pa.int64()),
+                                     "hamming": pa.array([], pa.int32())})
+    keys = set(zip(dup_keys["band"].tolist(), dup_keys["bucket"].tolist()))
+    keys_ref = ray.put(keys)
+
+    def in_dup(t: pa.Table) -> pa.Table:
+        k = ray.get(keys_ref)
+        mask = [(b, u) in k for b, u in zip(t.column("band").to_pylist(),
+                                           t.column("bucket").to_pylist())]
+        return t.filter(pa.array(mask, pa.bool_()))
+
+    members = exploded.map_batches(in_dup, batch_format="pyarrow").to_pandas()
+    sim_of = dict(zip(members["doc_id"], members["simhash"]))
+    seen: set[tuple[int, int]] = set()
+    rows = []
+    for (_, _), grp in members.groupby(["band", "bucket"]):
+        for a, b in D.candidate_pairs_from_bucket(grp["doc_id"].tolist()):
+            if (a, b) in seen:
+                continue
+            seen.add((a, b))
+            h = D.hamming64(sim_of[a], sim_of[b])
+            if h <= max_hamming:
+                rows.append((int(a), int(b), h))
+    rows.sort()
+    return pa.Table.from_pydict({
+        "doc_a": pa.array([r[0] for r in rows], pa.int64()),
+        "doc_b": pa.array([r[1] for r in rows], pa.int64()),
+        "hamming": pa.array([r[2] for r in rows], pa.int32())})
+
+
 def q_simhash_fingerprints(sf_dir: str) -> pa.Table:
     ds = rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
 
@@ -1006,6 +1063,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "orders_customer_join": q_orders_customer_join,
     "minhash_near_dup_pairs": q_minhash_near_dup_pairs,
     "simhash_fingerprints": q_simhash_fingerprints,
+    "simhash_near_dup_pairs": q_simhash_near_dup_pairs,
     "doc_fingerprints": q_doc_fingerprints,
     "language_id": q_language_id,
     "extract_pages": q_extract_pages,

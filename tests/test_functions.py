@@ -162,3 +162,14 @@ def test_candidate_pairs_truncation():
     pairs = D.candidate_pairs_from_bucket(range(100), max_pairs_per_bucket=50)
     assert len(pairs) == 50
     assert pairs[0] == (0, 1)
+
+
+def test_simhash_bands_lsh_property():
+    """Near-identical texts (hamming < 4) must share at least one 16-bit band."""
+    base = "the quick brown fox jumps over the lazy dog " * 10
+    near = base.replace("dog ", "dog! ")
+    sa, sb = D.simhash64(base), D.simhash64(near)
+    if D.hamming64(sa, sb) < 4:
+        assert any(x == y for x, y in zip(D.simhash_bands(sa), D.simhash_bands(sb)))
+    bands = D.simhash_bands(-1)  # all-ones simhash (signed representation)
+    assert bands == [0xFFFF] * 4

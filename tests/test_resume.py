@@ -75,3 +75,15 @@ def test_output_partition_layout(tmp_path, corpus, ray_session):
     summary = M.job_summary(out)
     assert summary["partitions"] == 2
     assert summary["counters"]["docs"] == 60
+
+
+def test_concurrent_partitions(tmp_path, corpus, ray_session):
+    out = str(tmp_path / "outc")
+    s = R.run_resumable(corpus, out, files_per_partition=1, concurrency=2,
+                        max_concurrent_partitions=3)
+    assert s["partitions_run"] == [0, 1, 2]
+    assert s["counters"]["docs"] == 60
+    # resume still skips everything
+    s2 = R.run_resumable(corpus, out, files_per_partition=1, concurrency=2,
+                         max_concurrent_partitions=3)
+    assert s2["partitions_run"] == []
