@@ -28,7 +28,10 @@ N_DOCS = int(os.environ.get("GRAFT_BENCH_DOCS", "200000"))
 CORPUS_SHARDS = 32
 BENCH_QUERIES = ["pricing_summary", "events_by_type", "top_recent_events",
                  "exact_dedup", "embedding_topk", "token_stats",
-                 "merge_longest_wins", "minhash_near_dup_pairs"]
+                 "merge_longest_wins", "minhash_near_dup_pairs",
+                 "simhash_near_dup_pairs", "user_sessions", "value_percentiles",
+                 "lineitem_semi_join", "segment_revenue", "curated_documents",
+                 "top_event_per_user", "props_json_sum"]
 
 
 def _generate_corpus(n_docs: int, out_dir: str) -> None:
