@@ -86,3 +86,34 @@ def test_entry_smoke(ray_session):
     names = set(ds.schema().names)
     assert {"url", "extracted_text", "fields", "tables", "spans",
             "parse_ok"} <= names
+
+
+def test_full_registry_at_sf001_driver_scale(ray_session):
+    """One sweep of every oracle-checked query at sf0.01 — the scale the
+    driver's correctness gate actually runs — with bit-exact numeric compare."""
+    import duckdb
+    import numpy as np
+    from pdfextraction_ray.queries import ORACLES, QUERIES
+
+    sf = "/root/testdata/sf0.01"
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')")
+    failures = []
+    for name, sql in ORACLES.items():
+        ours = QUERIES[name](sf)
+        ours = ours.to_pandas() if hasattr(ours, "to_pandas") else ours
+        theirs = con.sql(sql).df()
+        cols = sorted(ours.columns)
+        if cols != sorted(theirs.columns) or len(ours) != len(theirs):
+            failures.append(f"{name}: shape")
+            continue
+        a = ours[cols].sort_values(cols).reset_index(drop=True)
+        b = theirs[cols].sort_values(cols).reset_index(drop=True)
+        for c in cols:
+            if a[c].dtype.kind in "fiu":
+                if not np.array_equal(a[c].to_numpy(), b[c].to_numpy()):
+                    failures.append(f"{name}.{c}")
+            elif a[c].astype(str).tolist() != b[c].astype(str).tolist():
+                failures.append(f"{name}.{c}")
+    assert not failures, failures
