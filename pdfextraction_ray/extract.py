@@ -53,6 +53,10 @@ def _fold_lines(lines: list[list[Word]]) -> tuple[list[str], list[_Pair]]:
             parts = []
             for text, value, is_field in G.match_field_value_clusters(fc, vc):
                 if is_field:
+                    # falsy (empty-string) matches render [EMPTY] like missing
+                    # ones (reference `if best_value:`), and normalize to None
+                    # in pairs so the docstring invariant holds
+                    value = value if value else None
                     parts.append(f"{text}{G.FIELD_SEP}"
                                  f"{value if value is not None else G.EMPTY_TOKEN}")
                     pairs.append((text, value, line_y))

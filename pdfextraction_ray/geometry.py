@@ -267,7 +267,9 @@ def process_field_line_with_values(field_line: list[Word],
     parts = []
     for text, value, is_field in match_field_value_clusters(field_clusters, value_clusters):
         if is_field:
-            parts.append(f"{text}{FIELD_SEP}{value if value is not None else EMPTY_TOKEN}")
+            # reference tests `if best_value:` — a falsy (empty-string) match
+            # renders [EMPTY], not just a missing one (spatial_preprocessor.py:173)
+            parts.append(f"{text}{FIELD_SEP}{value if value else EMPTY_TOKEN}")
         else:
             parts.append(text)
     return CLUSTER_JOIN.join(parts)

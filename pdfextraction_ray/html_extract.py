@@ -82,8 +82,11 @@ class _PageParser(HTMLParser):
     truncated to the header width; captures inside blocked subtrees too
     (tables are structural data, not boilerplate text)."""
 
-    def __init__(self) -> None:
+    def __init__(self, min_text_chars: int = MIN_TEXT_CHARS,
+                 max_link_density: float = MAX_LINK_DENSITY) -> None:
         super().__init__(convert_charrefs=True)
+        self.min_text_chars = min_text_chars
+        self.max_link_density = max_link_density
         self.stack: list[_Node] = []
         self.blocks: list[tuple[str, str]] = []  # (tag, text)
         self.block_depth = 0          # depth of blocked subtree
@@ -207,7 +210,8 @@ class _PageParser(HTMLParser):
                 total = len(text)
                 density = node.link_chars / total if total else 1.0
                 keep = (node.tag in HEADING_TAGS
-                        or (total >= MIN_TEXT_CHARS and density <= MAX_LINK_DENSITY))
+                        or (total >= self.min_text_chars
+                            and density <= self.max_link_density))
                 if keep:
                     target = (self.blocks_in_container
                               if self.container_depth > 0 else self.blocks)
@@ -239,7 +243,7 @@ class HtmlMainContentExtractor:
         self.max_link_density = max_link_density
 
     def extract(self, html: str) -> dict[str, Any]:
-        parser = _PageParser()
+        parser = _PageParser(self.min_text_chars, self.max_link_density)
         try:
             parser.feed(html)
             parser.close()

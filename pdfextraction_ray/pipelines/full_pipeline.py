@@ -17,7 +17,6 @@ from __future__ import annotations
 
 from typing import Any, Optional, Union
 
-from ..stages.merge import merge_pages_by_url
 from ..stages.skew import domain_histogram
 from .extract_pipeline import extract_pipeline
 
@@ -51,22 +50,39 @@ def run_full_pipeline(paths: Union[str, list[str]], out_dir: str, *,
     import ray.data as rd
 
     parsed = extract_pipeline(paths, batch_size=batch_size, lang=lang)
-    if dedup:
-        parsed = dedup_latest_by_url(parsed)
     if merge_records:
+        # Multi-record merge consumes ALL crawls of a url as ordered pages:
+        # page_number = rank of warc_ts within the url group (ties: larger
+        # bytes_out first, duplicates of the same crawl dropped). The
+        # latest-wins dedup below would collapse the pages before the merge
+        # ever saw them, so it is intentionally bypassed on this path — the
+        # same-warc_ts dedup happens inside the group, one shuffle total.
         import pyarrow as pa
+        import pyarrow.compute as pc
 
-        def add_page(t: "pa.Table") -> "pa.Table":
-            return t.append_column("page_number",
-                                   pa.array([1] * t.num_rows, pa.int32()))
+        from ..stages.merge import merge_url_group
 
-        merged = merge_pages_by_url(
-            parsed.map_batches(add_page, batch_format="pyarrow")
-                  .select_columns(["url", "page_number", "parse_ok",
-                                   "fields", "tables"]))
+        def paginate_and_merge(g: "pa.Table") -> "pa.Table":
+            idx = pc.sort_indices(g, sort_keys=[("warc_ts", "ascending"),
+                                                ("bytes_out", "descending")])
+            g = g.take(idx)
+            ts = g.column("warc_ts").to_pylist()
+            keep = [i for i, t in enumerate(ts) if i == 0 or t != ts[i - 1]]
+            g = g.take(pa.array(keep, pa.int64()))
+            g = g.append_column("page_number",
+                                pa.array(range(1, g.num_rows + 1), pa.int32()))
+            return merge_url_group(
+                g.select(["url", "page_number", "parse_ok", "fields", "tables"]))
+
+        merged = (parsed.select_columns(["url", "warc_ts", "bytes_out",
+                                         "parse_ok", "fields", "tables"])
+                  .groupby("url")
+                  .map_groups(paginate_and_merge, batch_format="pyarrow"))
         merged.write_parquet(out_dir)
         n = rd.read_parquet(out_dir, columns=["url"]).count()
         return {"written_rows": n, "domains": None}
+    if dedup:
+        parsed = dedup_latest_by_url(parsed)
 
     parsed.write_parquet(out_dir)
     import glob

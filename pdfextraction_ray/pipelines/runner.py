@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import glob
 import os
+import shutil
 import time
 from typing import Any, Optional, Union
 
@@ -87,6 +88,11 @@ def _run_one_partition(part_id: int, files: list[str], out_dir: str,
                        parser_version: str) -> int:
     t0 = time.perf_counter()
     part_dir = M.partition_output_dir(out_dir, part_id)
+    # A prior attempt may have crashed after writing some parquet but before
+    # committing the manifest; write_parquet ADDS uniquely-named files, so
+    # rerunning into a stale dir would duplicate rows. Uncommitted output is
+    # garbage by contract — clear it first.
+    shutil.rmtree(part_dir, ignore_errors=True)
     ds = parse_pages(rd.read_parquet(files), batch_size=batch_size,
                      concurrency=concurrency)
     ds.write_parquet(part_dir)
@@ -109,9 +115,16 @@ def run_resumable(input_paths: Union[str, list[str]], out_dir: str, *,
     Each partition is its own bounded Ray Data pipeline (streaming within the
     partition); failures leave no manifest, so the partition reruns next time.
 
-    ``max_concurrent_partitions`` is accepted for API stability but values
-    > 1 currently fall back to sequential execution with a RuntimeWarning —
-    see the inline note on the Ray 2.49 concurrent-execution deadlock.
+    ``max_concurrent_partitions > 1`` submits partitions as ``ray.remote``
+    driver tasks (a sliding window of that width): each task launches its own
+    bounded Ray Data pipeline, so per-partition tails overlap instead of
+    idling the cluster. Driver-THREAD concurrency was tried first and removed
+    — on Ray 2.49 several streaming executions launched from driver threads
+    intermittently deadlock at executor startup (threads parked in
+    get_output_blocking) and lazy fsspec imports race (see
+    _stabilize_fsspec_http_import); remote tasks have neither problem. The
+    orchestrating tasks take ``num_cpus=0`` so they never hold CPU slots the
+    pipelines they launch need.
     """
     if isinstance(input_paths, str):
         input_paths = sorted(glob.glob(os.path.join(input_paths, "*.parquet")))
@@ -120,22 +133,41 @@ def run_resumable(input_paths: Union[str, list[str]], out_dir: str, *,
     todo = [(pid, files) for pid, files in enumerate(partitions) if pid not in done]
     skipped = [pid for pid in range(len(partitions)) if pid in done]
     ran: list[int] = []
-    if max_concurrent_partitions > 1:
-        # Driver-thread-concurrent partition execution was prototyped and
-        # REMOVED: in Ray 2.49 several streaming executions launched from
-        # driver threads intermittently deadlock at executor startup
-        # (threads parked in get_output_blocking; reproducible under pytest,
-        # not in plain scripts) and lazy fsspec imports race (see
-        # _stabilize_fsspec_http_import). Partitions therefore run
-        # sequentially — each one saturates the cluster on its own, so the
-        # only loss is the per-partition tail. Revisit on a newer Ray.
-        import warnings
-        warnings.warn("max_concurrent_partitions > 1 is not supported on "
-                      "this Ray version; running partitions sequentially",
-                      RuntimeWarning, stacklevel=2)
-    for part_id, files in todo:
-        ran.append(_run_one_partition(part_id, files, out_dir, batch_size,
-                                      concurrency, parser_version))
+    if max_concurrent_partitions > 1 and len(todo) > 1:
+        import ray
+        _stabilize_fsspec_http_import()
+        # Deadlock guard for concurrent nested pipelines: actor pools RESERVE
+        # their CPUs even while starved, so W windows x N actors can hold
+        # every CPU while the read tasks that would feed them never get one
+        # (observed intermittently even with elastic (1, N) pools on a 4-CPU
+        # box). The task form of the parse stage has identical semantics
+        # (per-worker cached parser, stages/parse.py:72) and task pools
+        # cannot reserve-deadlock — concurrent partitions therefore always
+        # use it; run partitions sequentially when an actor pool is required
+        # (heavyweight state), where each partition saturates the cluster on
+        # its own.
+        concurrency = None
+        ncpu = int(ray.cluster_resources().get("CPU", 8))
+        window = max(1, min(max_concurrent_partitions, ncpu - 1))
+        run_remote = ray.remote(num_cpus=0)(_run_one_partition)
+        in_flight: dict = {}
+        idx = 0
+        while idx < len(todo) or in_flight:
+            while idx < len(todo) and len(in_flight) < window:
+                part_id, files = todo[idx]
+                idx += 1
+                ref = run_remote.remote(part_id, files, out_dir, batch_size,
+                                        concurrency, parser_version)
+                in_flight[ref] = part_id
+            finished, _ = ray.wait(list(in_flight), num_returns=1)
+            for ref in finished:
+                ran.append(ray.get(ref))
+                del in_flight[ref]
+        ran.sort()
+    else:
+        for part_id, files in todo:
+            ran.append(_run_one_partition(part_id, files, out_dir, batch_size,
+                                          concurrency, parser_version))
     summary = M.job_summary(out_dir)
     summary["partitions_run"] = ran
     summary["partitions_skipped"] = skipped

@@ -3,9 +3,13 @@ rows, reproducing the reference merger's semantics (SURVEY §2.5 G5-G9):
 
 - form fields: first non-null value in page order wins; a later non-null
   duplicate flags ``conflict_detected`` and replaces the value only when
-  strictly longer (reference services/result_merger.py:93-120 — note the
-  reference flags a conflict even when the duplicate value is identical;
-  reproduced faithfully)
+  strictly longer. DELIBERATE DIVERGENCE from the reference: the reference's
+  longest-wins/conflict logic (services/result_merger.py:93-120) operates on
+  one page's dict whose keys are unique, so in practice it never fires and
+  the observed behavior is plain ``dict.update`` last-page-wins with
+  ``conflict_detected`` never set. We apply the (clearly intended)
+  longest-wins rule ACROSS pages and flag real cross-page conflicts —
+  semantics the reference describes but cannot reach.
 - tables: rows accumulate across pages per table_name, headers from the first
   page, with source_pages / rows_by_page / spans_multiple_pages metadata
   (services/result_merger.py:122-166)

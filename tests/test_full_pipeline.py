@@ -98,3 +98,26 @@ def test_multipage_parse_merge_end_to_end(ray_session):
         any(f["conflict_detected"] for f in fields)
         for fields in merged.merged_fields)
     assert any_conflict
+
+
+def test_merge_records_multi_crawl_pages_from_warc_ts(ray_session, tmp_path):
+    """merge_records must see ALL crawls of a url as ordered pages (regression:
+    page_number was hardcoded 1 and the url dedup collapsed pages first)."""
+    t1 = build_corpus_table(15, seed=23)
+    bumped = pa.compute.add(t1.column("warc_ts").cast(pa.int64()),
+                            10**9).cast(pa.timestamp("us"))
+    t2 = t1.set_column(t1.schema.get_field_index("warc_ts"), "warc_ts", bumped)
+    src = tmp_path / "in"
+    src.mkdir()
+    pq.write_table(pa.concat_tables([t1, t2, t2]),  # t2 twice: same-crawl dup
+                   str(src / "shard.parquet"))
+    out = str(tmp_path / "out")
+    summary = run_full_pipeline([str(src / "shard.parquet")], out,
+                                merge_records=True)
+    assert summary["written_rows"] == 15
+    merged = rd.read_parquet(out).to_pandas()
+    # two distinct crawls -> two pages; the duplicated crawl was dropped
+    assert (merged.total_pages == 2).all()
+    pages = [sorted(f["source_page"] for f in fields if f["source_page"])
+             for fields in merged.merged_fields]
+    assert any(1 in p and max(p) <= 2 for p in pages if p)

@@ -121,3 +121,16 @@ def test_multiline_value_beneath(reference_modules):
     ours = G.preprocess_document(words)
     assert ours == ref.preprocess_document(words)
     assert "12/31/2024" in ours
+
+
+def test_empty_string_value_renders_empty_token(reference_modules):
+    """A matched value cluster whose text is empty ('' is producible via
+    NUL-split decode_words texts) must render [EMPTY] exactly like the
+    reference's `if best_value:` truthiness check."""
+    SpatialPreprocessor, _ = reference_modules
+    ref = SpatialPreprocessor()
+    field_line = [make_word("Employee", 30, 100), make_word("Name", 90, 100)]
+    value_line = [make_word("", 60, 114, width=6.0)]
+    ours = G.process_field_line_with_values(field_line, value_line)
+    assert ours == ref.process_field_line_with_values(field_line, value_line)
+    assert ours.endswith(G.EMPTY_TOKEN)

@@ -65,3 +65,25 @@ def test_unclosed_everything():
     html = "<main><p>An unclosed paragraph with quite a few characters in it"
     out = extract_main_content(html)
     assert "unclosed paragraph" in out["extracted_text"]
+
+
+def test_min_text_chars_tunable_changes_output():
+    """Constructor thresholds must actually reach the parser (regression:
+    they were stored but _close_node read the module constants)."""
+    from pdfextraction_ray.html_extract import HtmlMainContentExtractor
+    body = "Thirty-ish characters of text."  # 30 chars: >=25, <40
+    html = f"<main><p>{body}</p></main>"
+    assert body in HtmlMainContentExtractor().extract(html)["extracted_text"]
+    strict = HtmlMainContentExtractor(min_text_chars=40).extract(html)
+    assert strict["extracted_text"] == ""
+
+
+def test_max_link_density_tunable_changes_output():
+    from pdfextraction_ray.html_extract import HtmlMainContentExtractor
+    linked = "linked anchor text chars"
+    plain = "plain words here too"
+    html = f'<main><p><a href="/x">{linked}</a> {plain}</p></main>'
+    # ~55% link chars: dropped at the default 1/3 cap, kept at 0.9
+    assert HtmlMainContentExtractor().extract(html)["extracted_text"] == ""
+    loose = HtmlMainContentExtractor(max_link_density=0.9).extract(html)
+    assert linked in loose["extracted_text"]

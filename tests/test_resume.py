@@ -77,15 +77,31 @@ def test_output_partition_layout(tmp_path, corpus, ray_session):
     assert summary["counters"]["docs"] == 60
 
 
-def test_concurrent_partitions_falls_back_sequential(tmp_path, corpus, ray_session):
-    """max_concurrent_partitions > 1 warns and runs sequentially (driver-
-    thread-concurrent executions deadlock intermittently on Ray 2.49)."""
-    import warnings
+def test_concurrent_partitions_run_in_parallel(tmp_path, corpus, ray_session):
+    """max_concurrent_partitions > 1 submits partitions as ray.remote driver
+    tasks (driver THREADS deadlock on Ray 2.49 — see runner docstring);
+    results and manifests must be identical to the sequential path."""
     out = str(tmp_path / "outc")
-    with warnings.catch_warnings(record=True) as w:
-        warnings.simplefilter("always")
-        s = R.run_resumable(corpus, out, files_per_partition=1,
-                            max_concurrent_partitions=3)
-    assert any("sequentially" in str(x.message) for x in w)
+    s = R.run_resumable(corpus, out, files_per_partition=1,
+                        max_concurrent_partitions=3, concurrency=2)
     assert s["partitions_run"] == [0, 1, 2]
     assert s["counters"]["docs"] == 60
+    s2 = R.run_resumable(corpus, out, files_per_partition=1,
+                         max_concurrent_partitions=3, concurrency=2)
+    assert s2["partitions_run"] == []
+    assert s2["partitions_skipped"] == [0, 1, 2]
+
+
+def test_resume_clears_stale_uncommitted_output(tmp_path, corpus, ray_session):
+    """A partition that crashed after writing parquet but before its manifest
+    commit must not duplicate rows on re-run (write_parquet ADDS files)."""
+    import glob as _glob
+    out = str(tmp_path / "out")
+    R.run_resumable(corpus, out, files_per_partition=1, concurrency=2)
+    # simulate the crash: full stale output present, commit record lost
+    os.unlink(os.path.join(out, "_manifest", "part-0001.json"))
+    stale = _glob.glob(os.path.join(out, "part=0001", "*.parquet"))
+    assert stale, "precondition: partition 1 has uncommitted parquet"
+    s = R.run_resumable(corpus, out, files_per_partition=1, concurrency=2)
+    assert s["partitions_run"] == [1]
+    assert s["counters"]["docs"] == 60  # not 80: stale files were cleared
