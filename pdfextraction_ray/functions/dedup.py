@@ -147,8 +147,16 @@ def simhash_bands(sim: int, n_bands: int = 4) -> list[int]:
 # -- batch stages ------------------------------------------------------------
 
 class MinHasher:
-    """Actor-pool stage: permutation params built once per actor; emits the
-    signature as fixed-size binary plus the per-band LSH keys."""
+    """Warmed-state stage (callable class for actor pools OR per-worker
+    caching as a task): permutation params built once; emits the signature as
+    fixed-size binary plus the per-band LSH keys.
+
+    The signature math stays PER-DOC numpy (64 x ~hundreds of shingles):
+    measured here, one large batch-concatenated uint64 matrix is ~100x
+    SLOWER than the same FLOPs in per-doc slices (multi-MB uint64
+    temporaries hit a pathological allocation/page-fault cost on this
+    platform), and the per-doc kernel is already ~0.3 ms/doc — the LSH
+    shuffles dominate the pipeline, not this stage."""
 
     def __init__(self, num_perm: int = 64, n_bands: int = 16, k: int = 5):
         self.num_perm = num_perm
