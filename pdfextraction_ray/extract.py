@@ -34,11 +34,14 @@ Word = G.Word
 _Pair = tuple[str, Optional[str], float]
 
 
-def _fold_lines(lines: list[list[Word]]) -> tuple[list[str], list[_Pair]]:
+def _fold_lines(lines: list[list[Word]],
+                multiplier: float = G.PROXIMITY_MULTIPLIER,
+                ) -> tuple[list[str], list[_Pair]]:
     """One pass over grouped lines producing BOTH the byte-exact formatted
     text lines (identical to geometry.process_multiline_fields) and the
     structured (field, value, line_y) pairs. A pair's value is None exactly
-    when the text path prints ``[EMPTY]``."""
+    when the text path prints ``[EMPTY]``. ``multiplier`` is the proximity
+    clustering threshold (per-domain override hook, SURVEY §2.3 A8)."""
     formatted: list[str] = []
     pairs: list[_Pair] = []
     i = 0
@@ -48,8 +51,8 @@ def _fold_lines(lines: list[list[Word]]) -> tuple[list[str], list[_Pair]]:
         line_y = line[0]["y0"] if line else 0.0
         if G.line_contains_field_patterns(line):
             nxt = lines[i + 1] if i + 1 < n else None
-            fc = G.cluster_words_by_proximity(line)
-            vc = G.cluster_words_by_proximity(nxt) if nxt else []
+            fc = G.cluster_words_by_proximity(line, multiplier)
+            vc = G.cluster_words_by_proximity(nxt, multiplier) if nxt else []
             parts = []
             for text, value, is_field in G.match_field_value_clusters(fc, vc):
                 if is_field:
@@ -68,7 +71,7 @@ def _fold_lines(lines: list[list[Word]]) -> tuple[list[str], list[_Pair]]:
             else:
                 i += 1
         else:
-            clusters = G.cluster_words_by_proximity(line)
+            clusters = G.cluster_words_by_proximity(line, multiplier)
             parts = []
             for ci, c in enumerate(clusters):
                 if G.is_field_pattern(c):
@@ -105,17 +108,21 @@ def _fields_outside_regions(pairs: list[_Pair],
                if not any(lo <= y <= hi for lo, hi in spans))
 
 
-def parse_word_page(words: list[Word]) -> dict[str, Any]:
+def parse_word_page(words: list[Word],
+                    proximity_multiplier: float = G.PROXIMITY_MULTIPLIER,
+                    ) -> dict[str, Any]:
     """The one-pass step-1+2+3 pipeline for a page. Returns
     ``{extracted_text, classification, confidence, schema, extracted_data,
-    table_data, regions, pairs}``."""
+    table_data, regions, pairs}``. A non-default ``proximity_multiplier``
+    (per-domain config override, A8) changes word clustering; the default is
+    the byte-identity contract."""
     if not words:
         schema = {"form_fields": [], "tables": [], "field_type": "form"}
         return {"extracted_text": "", "classification": "form", "confidence": 0.3,
                 "schema": schema, "extracted_data": {}, "table_data": [],
                 "regions": [], "pairs": []}
     lines = G.group_words_into_lines(words)
-    formatted, pairs = _fold_lines(lines)
+    formatted, pairs = _fold_lines(lines, proximity_multiplier)
     regions = G.identify_table_regions(words, lines)
     n_fields = _fields_outside_regions(pairs, regions)
     cls, conf = _classify(regions, n_fields)

@@ -100,16 +100,29 @@ class LshBucketer:
 
 
 def lsh_topk(ds: "ray.data.Dataset", query: np.ndarray, dim: int, k: int = 10,
-             n_planes: int = 8, seed: int = 13,
+             n_planes: int = 8, seed: int = 13, probe_radius: int = 1,
              bucketed: Optional["ray.data.Dataset"] = None) -> pa.Table:
-    """ANN top-k: score only rows in the query's LSH bucket (exact cosine
-    within the bucket). Recall < 1 by construction; n_planes trades recall
-    for candidate-set size."""
+    """ANN top-k with MULTI-PROBE: score rows whose bucket is within hamming
+    distance ``probe_radius`` of the query's bucket (exact cosine within the
+    candidate set). Recall < 1 by construction; ``n_planes`` and
+    ``probe_radius`` trade recall against candidate-set size — radius r over
+    b planes probes sum(C(b, 0..r)) of the 2^b buckets."""
     bucketer = LshBucketer(dim, n_planes, seed)
     target = int(bucketer.bucket_of(np.asarray(query, dtype=np.float64)[None, :])[0])
     source = bucketed if bucketed is not None else ds.map_batches(
         LshBucketer, fn_constructor_kwargs={"dim": dim, "n_planes": n_planes,
                                             "seed": seed},
         batch_format="pyarrow", batch_size=4096, concurrency=(1, 8))
-    candidates = source.filter(expr=f"lsh_bucket == {target}")
+    if probe_radius <= 0:
+        candidates = source.filter(expr=f"lsh_bucket == {target}")
+    else:
+        def probe(t: pa.Table) -> pa.Table:
+            x = np.bitwise_xor(t.column("lsh_bucket").to_numpy(
+                zero_copy_only=False).astype(np.int64), target)
+            pop = np.zeros(len(x), dtype=np.int64)
+            for i in range(n_planes):  # vectorized popcount over n_planes bits
+                pop += (x >> i) & 1
+            return t.filter(pa.array(pop <= probe_radius))
+
+        candidates = source.map_batches(probe, batch_format="pyarrow")
     return brute_force_topk(candidates, query, k)

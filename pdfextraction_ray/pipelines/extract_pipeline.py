@@ -22,7 +22,8 @@ DEFAULT_BATCH_SIZE = 512
 def parse_pages(ds: "ray.data.Dataset", *,
                 batch_size: int = DEFAULT_BATCH_SIZE,
                 concurrency: Optional[Union[int, tuple[int, int]]] = None,
-                min_text_chars: int = 25) -> "ray.data.Dataset":
+                min_text_chars: int = 25,
+                config_overrides=None) -> "ray.data.Dataset":
     """Apply the document parser to a pages Dataset.
 
     Two physical forms (same semantics):
@@ -33,10 +34,14 @@ def parse_pages(ds: "ray.data.Dataset", *,
       POOL — the form for heavyweight warmed state (models, big tries) or
       per-stage resource isolation
 
+    ``config_overrides``: per-domain parser parameters (A8 feedback loop) —
+    a ``stages.overrides.ParserConfigOverrides`` or a plain
+    ``{domain: {param: value}}`` dict, resolved per row inside the actors.
+
     ``batch_size`` bounds batch x payload in the worker heap; 512 is sized
     for ~KB-scale payloads — drop it for corpora with MB-scale pages.
     """
-    if concurrency is None and min_text_chars == 25:
+    if concurrency is None and min_text_chars == 25 and config_overrides is None:
         return ds.map_batches(parse_batch_task, batch_format="pyarrow",
                               zero_copy_batch=True, batch_size=batch_size)
     if concurrency is None:
@@ -48,7 +53,8 @@ def parse_pages(ds: "ray.data.Dataset", *,
         concurrency = (1, max(2, ncpu - 2))
     return ds.map_batches(
         DocumentParser,
-        fn_constructor_kwargs={"min_text_chars": min_text_chars},
+        fn_constructor_kwargs={"min_text_chars": min_text_chars,
+                               "config_overrides": config_overrides},
         batch_format="pyarrow",
         zero_copy_batch=True,
         batch_size=batch_size,

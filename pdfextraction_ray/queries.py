@@ -696,9 +696,13 @@ LIMIT 10
 
 
 def q_embedding_ann_lsh(sf_dir: str) -> pa.Table:
+    # multi-probe radius 2 over 6 planes: probes 22/64 buckets (~1/3 of the
+    # corpus) for measured recall 5-8 of the exact top-10 — the declared
+    # recall/cost trade of the scale path (raise n_planes at larger corpora)
     q = _query_vector(sf_dir)
     ds = rd.read_parquet(_p(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
-    return lsh_topk(ds, q, dim=len(q), k=10, n_planes=6).select(["vec_id"])
+    return lsh_topk(ds, q, dim=len(q), k=10, n_planes=6,
+                    probe_radius=2).select(["vec_id"])
 
 
 # ---------------------------------------------------------------------------
@@ -1174,6 +1178,29 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "extract_pages": q_extract_pages,
 }
 
+# ---------------------------------------------------------------------------
+# pinned-golden oracles for queries whose semantics are not SQL-expressible
+# (sketches / LSH / parser): the oracle reads a committed parquet produced by
+# tools/make_goldens.py from the same deterministic computation (fixed seeds,
+# stable hashes). This upgrades the driver's check from rows-only to full
+# rows+schema+value-hash; it guards regressions, while the underlying
+# correctness is covered in pytest (signature parity, recall bounds,
+# reference byte-identity). Paths are sf-specific: the driver gate runs at
+# sf0.01; the local harness rewrites the suffix for other scales.
+# ---------------------------------------------------------------------------
+
+_GOLDEN_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                           "tests", "goldens", "queries")
+
+GOLDEN_ORACLE_QUERIES = ("minhash_near_dup_pairs", "simhash_near_dup_pairs",
+                         "simhash_fingerprints", "doc_fingerprints",
+                         "language_id", "embedding_ann_lsh", "extract_pages")
+
+
+def _golden_sql(name: str, sf: str = "sf0.01") -> str:
+    return f"SELECT * FROM read_parquet('{_GOLDEN_DIR}/{name}_{sf}.parquet')"
+
+
 ORACLES: dict[str, str] = {
     "pricing_summary": SQL_PRICING,
     "top_recent_events": SQL_TOP_RECENT,
@@ -1201,7 +1228,5 @@ ORACLES: dict[str, str] = {
     "value_percentiles": SQL_VALUE_PERCENTILES,
     "top_event_per_user": SQL_TOP_EVENT_PER_USER,
     "orders_customer_join": SQL_ORDERS_CUSTOMER_JOIN,
-    # embedding_ann_lsh, minhash_near_dup_pairs, simhash_fingerprints,
-    # doc_fingerprints, language_id, extract_pages: not SQL-expressible
-    # (approximate / sketch / parser semantics) -> rows-only driver check.
+    **{name: _golden_sql(name) for name in GOLDEN_ORACLE_QUERIES},
 }

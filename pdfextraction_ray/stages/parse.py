@@ -98,19 +98,59 @@ class DocumentParser:
     def __init__(self, min_text_chars: int = 25,
                  proximity_multiplier: float = G.PROXIMITY_MULTIPLIER,
                  max_payload_bytes: int = MAX_PAYLOAD_BYTES,
-                 max_words: int = MAX_WORDS):
+                 max_words: int = MAX_WORDS,
+                 config_overrides: "Any | None" = None):
+        """``config_overrides``: a :class:`ParserConfigOverrides` (or a plain
+        ``{domain: {param: value}}`` dict) consulted per row — the A8
+        feedback loop (reference services/feedback_analyzer.py:14-54 applied
+        at services/openai_service.py:1006-1248) re-expressed as versioned
+        per-domain parser parameters instead of per-call LLM instructions.
+        Supported params: ``min_text_chars``, ``max_link_density`` (HTML
+        stripper) and ``proximity_multiplier`` (word clustering)."""
+        self.min_text_chars = min_text_chars
         self.html = HtmlMainContentExtractor(min_text_chars=min_text_chars)
         self.proximity_multiplier = proximity_multiplier
         self.max_payload_bytes = max_payload_bytes
         self.max_words = max_words
+        if config_overrides is not None and not hasattr(config_overrides, "resolve"):
+            from .overrides import ParserConfigOverrides
+            config_overrides = ParserConfigOverrides(
+                config_overrides,
+                defaults={"proximity_multiplier": proximity_multiplier,
+                          "min_text_chars": min_text_chars})
+        self.overrides = config_overrides
+        self._domain_cache: dict[str, tuple[HtmlMainContentExtractor, float]] = {}
+
+    def _domain_config(self, url: str) -> tuple[HtmlMainContentExtractor, float]:
+        """(html extractor, proximity multiplier) for a url's domain —
+        resolved once per distinct domain per actor, defaults otherwise."""
+        if self.overrides is None:
+            return self.html, self.proximity_multiplier
+        from .skew import domain_of
+        domain = domain_of(url or "")
+        hit = self._domain_cache.get(domain)
+        if hit is None:
+            params = self.overrides.resolve(domain)
+            mtc = int(params.get("min_text_chars", self.min_text_chars))
+            mld = params.get("max_link_density")
+            html = (self.html if mtc == self.min_text_chars and mld is None
+                    else HtmlMainContentExtractor(
+                        min_text_chars=mtc,
+                        **({"max_link_density": mld} if mld is not None else {})))
+            hit = (html, float(params.get("proximity_multiplier",
+                                          self.proximity_multiplier)))
+            self._domain_cache[domain] = hit
+        return hit
 
     # -- per-document parsers ----------------------------------------------
-    def _parse_words(self, payload: bytes) -> dict[str, Any]:
+    def _parse_words(self, payload: bytes,
+                     proximity_multiplier: float) -> dict[str, Any]:
         words = decode_words(payload)
         if len(words) > self.max_words:
             raise ValueError(f"word count {len(words)} exceeds the "
                              f"{self.max_words}-word per-document cap")
-        page = X.parse_word_page(words)  # one pass for text + all 3 steps
+        # one pass for text + all 3 steps
+        page = X.parse_word_page(words, proximity_multiplier)
         text = page["extracted_text"]
         # span lineage: one span per formatted line of the byte-exact text
         spans = []
@@ -133,9 +173,10 @@ class DocumentParser:
             "n_words": len(words),
         }
 
-    def _parse_html(self, payload: bytes) -> dict[str, Any]:
+    def _parse_html(self, payload: bytes,
+                    extractor: HtmlMainContentExtractor) -> dict[str, Any]:
         html = decode_html(payload)
-        res = self.html.extract(html)
+        res = extractor.extract(html)
         tables = res["tables"]
         n_paras = sum(1 for s in res["spans"] if s["kind"] not in
                       ("h1", "h2", "h3", "h4", "h5", "h6"))
@@ -173,11 +214,12 @@ class DocumentParser:
                         f"payload {bytes_in} bytes exceeds the "
                         f"{self.max_payload_bytes}-byte cap (reference 16 MB "
                         f"upload limit)")
+                html_extractor, proximity = self._domain_config(urls[i].as_py())
                 kind = payload_kind(payload) if payload else "empty"
                 if kind == KIND_WORDS:
-                    rec = self._parse_words(payload)
+                    rec = self._parse_words(payload, proximity)
                 elif kind == KIND_HTML:
-                    rec = self._parse_html(payload)
+                    rec = self._parse_html(payload, html_extractor)
                 else:
                     raise ValueError(f"unknown payload kind {payload[:4]!r}"
                                      if payload else "empty payload")

@@ -57,3 +57,40 @@ def test_parser_config_overrides():
     assert cfg.resolve("slow.example")["proximity_multiplier"] == 3.0
     assert cfg.resolve("other.example")["proximity_multiplier"] == 2.0
     assert cfg.resolve("slow.example")["min_text_chars"] == 25
+
+
+def test_domain_config_override_words_path(ray_session):
+    """A8 wiring: a per-domain proximity_multiplier override changes word
+    clustering for THAT domain only; default domains keep the byte contract."""
+    batch = _corpus()
+    base = DocumentParser()(batch).to_pylist()
+    overridden = DocumentParser(config_overrides={
+        "a.example": {"proximity_multiplier": 0.01}})(batch).to_pylist()
+    assert overridden[0]["extracted_text"] != base[0]["extracted_text"]
+    assert overridden[1]["extracted_text"] == base[1]["extracted_text"]
+
+
+def test_domain_config_override_html_path(ray_session):
+    import numpy as np
+    from pdfextraction_ray.payload import encode_html
+    body = "A paragraph with a bit more than twenty-five characters."
+    html = encode_html(f"<main><p>{body}</p></main>")
+    batch = pa.Table.from_pydict({
+        "url": ["https://a.example/1", "https://b.example/2"],
+        "warc_ts": np.zeros(2, dtype="datetime64[us]"),
+        "html": [html, html],
+        "text": ["", ""], "lang": ["en", "en"]}, schema=CORPUS_SCHEMA)
+    out = DocumentParser(config_overrides={
+        "a.example": {"min_text_chars": 1000}})(batch).to_pylist()
+    assert out[0]["extracted_text"] == ""   # overridden domain: threshold up
+    assert body in out[1]["extracted_text"]  # default domain unchanged
+
+
+def test_parse_pages_routes_config_overrides(ray_session):
+    from pdfextraction_ray.pipelines.extract_pipeline import parse_pages
+    batch = _corpus()
+    out = parse_pages(rd.from_arrow(batch), config_overrides=ParserConfigOverrides(
+        {"a.example": {"proximity_multiplier": 0.01}})).to_pandas()
+    base = parse_pages(rd.from_arrow(batch)).to_pandas()
+    assert out.iloc[0]["extracted_text"] != base.iloc[0]["extracted_text"]
+    assert out.iloc[1]["extracted_text"] == base.iloc[1]["extracted_text"]
