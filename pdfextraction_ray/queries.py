@@ -763,6 +763,75 @@ def q_embedding_near_dup_pairs(sf_dir: str, threshold: float = 0.4) -> pa.Table:
     return t.sort_by([("vec_a", "ascending"), ("vec_b", "ascending")])
 
 
+def q_embedding_near_dup_lsh(sf_dir: str, threshold: float = 0.4,
+                             n_bands: int = 4, planes_per_band: int = 3) -> pa.Table:
+    """APPROXIMATE embedding near-dup — the 100-TB scale path: banded
+    hyperplane LSH (OR-construction: ``n_bands`` independent bucketings,
+    a pair is a candidate if it co-buckets in ANY band), all-pairs cosine
+    scored WITHIN buckets only. O(sum of bucket^2) instead of O(n^2); recall
+    < 1 by construction (measured ~2/3 of the exact 0.4-threshold pair set,
+    ~all of the genuinely-near pairs; tune bands/planes per corpus).
+    Deterministic (fixed per-band seeds), pinned-golden oracle; every found
+    pair is exact-scored, so the output is a subset of the exact query."""
+    from .functions.similarity import LshBucketer, _as_matrix
+
+    first_rg = pq.ParquetFile(_p(sf_dir, "embeddings")).read_row_group(
+        0, columns=["embedding"])
+    dim = len(first_rg.column("embedding")[0].as_py())
+
+    class BandedBucketer:
+        """One row per (vec, band): the OR-construction explode. The vector
+        rides the shuffle n_bands times — the standard LSH-dedup trade."""
+
+        def __init__(self):
+            self.buckets = [LshBucketer(dim, planes_per_band, seed=13 + b)
+                            for b in range(n_bands)]
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            mat = _as_matrix(t.column("embedding"))
+            parts = []
+            for b, bk in enumerate(self.buckets):
+                buckets = (bk.bucket_of(mat) if mat.size
+                           else np.zeros(0, dtype=np.int64))
+                parts.append(pa.Table.from_pydict({
+                    "vec_id": t["vec_id"],
+                    "embedding": t["embedding"],
+                    "band": pa.array(np.full(t.num_rows, b, np.int32), pa.int32()),
+                    "bucket": pa.array(buckets, pa.int64())}))
+            return pa.concat_tables(parts)
+
+    ds = rd.read_parquet(_p(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+    exploded = ds.map_batches(BandedBucketer, batch_format="pyarrow",
+                              batch_size=4096, concurrency=(1, 4))
+
+    def score_bucket(g: pa.Table) -> pa.Table:
+        ids = np.asarray(g.column("vec_id").to_pylist(), dtype=np.int64)
+        mat = _as_matrix(g.column("embedding"))
+        if mat.size == 0 or len(ids) < 2:
+            return pa.Table.from_pydict({"vec_a": pa.array([], pa.int64()),
+                                         "vec_b": pa.array([], pa.int64())})
+        norms = np.linalg.norm(mat, axis=1)
+        norms[norms == 0] = 1.0
+        unit = mat / norms[:, None]
+        scores = unit @ unit.T
+        ii, jj = np.where(scores >= threshold)
+        keep = ids[ii] < ids[jj]
+        return pa.Table.from_pydict({
+            "vec_a": pa.array(ids[ii][keep], pa.int64()),
+            "vec_b": pa.array(ids[jj][keep], pa.int64())})
+
+    out = exploded.groupby(["band", "bucket"]).map_groups(
+        score_bucket, batch_format="pyarrow")
+    df = out.to_pandas()  # result-sized (<= n_bands x final pairs)
+    if df.empty:
+        return pa.Table.from_pydict({"vec_a": pa.array([], pa.int64()),
+                                     "vec_b": pa.array([], pa.int64())})
+    df = df.drop_duplicates(["vec_a", "vec_b"]).sort_values(["vec_a", "vec_b"])
+    return pa.Table.from_pydict({
+        "vec_a": pa.array(df["vec_a"], pa.int64()),
+        "vec_b": pa.array(df["vec_b"], pa.int64())})
+
+
 SQL_EMBEDDING_NEAR_DUP = """
 SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
 FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
@@ -1166,6 +1235,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "embedding_topk": q_embedding_topk,
     "embedding_ann_lsh": q_embedding_ann_lsh,
     "embedding_near_dup_pairs": q_embedding_near_dup_pairs,
+    "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
     "user_sessions": q_user_sessions,
     "value_percentiles": q_value_percentiles,
     "top_event_per_user": q_top_event_per_user,
@@ -1194,7 +1264,8 @@ _GOLDEN_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__fil
 
 GOLDEN_ORACLE_QUERIES = ("minhash_near_dup_pairs", "simhash_near_dup_pairs",
                          "simhash_fingerprints", "doc_fingerprints",
-                         "language_id", "embedding_ann_lsh", "extract_pages")
+                         "language_id", "embedding_ann_lsh",
+                         "embedding_near_dup_lsh", "extract_pages")
 
 
 def _golden_sql(name: str, sf: str = "sf0.01") -> str:

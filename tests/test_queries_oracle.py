@@ -127,3 +127,15 @@ def test_full_registry_at_sf001_driver_scale(ray_session):
             elif a[c].astype(str).tolist() != b[c].astype(str).tolist():
                 failures.append(f"{name}.{c}")
     assert not failures, failures
+
+
+def test_embedding_near_dup_lsh_recall(ray_session):
+    """Bucketed pair-finding is a strict subset of the exact pair set with
+    usable recall (the scale-path contract)."""
+    from pdfextraction_ray.queries import QUERIES
+    exact = _to_pandas(QUERIES["embedding_near_dup_pairs"](SF))
+    approx = _to_pandas(QUERIES["embedding_near_dup_lsh"](SF))
+    e = set(zip(exact["vec_a"], exact["vec_b"]))
+    a = set(zip(approx["vec_a"], approx["vec_b"]))
+    assert a <= e  # within-bucket scoring can never invent a pair
+    assert len(a) >= len(e) // 3  # deterministic given the fixed seed

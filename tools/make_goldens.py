@@ -24,6 +24,7 @@ GOLDEN_QUERIES = [
     "doc_fingerprints",
     "language_id",
     "embedding_ann_lsh",
+    "embedding_near_dup_lsh",
     "extract_pages",
 ]
 
