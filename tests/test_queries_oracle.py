@@ -139,3 +139,52 @@ def test_embedding_near_dup_lsh_recall(ray_session):
     a = set(zip(approx["vec_a"], approx["vec_b"]))
     assert a <= e  # within-bucket scoring can never invent a pair
     assert len(a) >= len(e) // 3  # deterministic given the fixed seed
+
+
+def test_minhash_pipeline_equals_sequential_reference(ray_session, tmp_path):
+    """Differential: the two-pass distributed minhash near-dup pipeline must
+    equal a trivially-correct sequential implementation of the same
+    semantics (signatures -> bands -> candidate pairs -> exact Jaccard) on a
+    synthetic corpus with planted near-duplicates."""
+    import random
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pdfextraction_ray.functions import dedup as D
+    from pdfextraction_ray.queries import QUERIES
+
+    rng = random.Random(77)
+    words = [f"w{i:03d}" for i in range(300)]
+    texts = []
+    for i in range(60):
+        base = " ".join(rng.choices(words, k=80))
+        texts.append(base)
+        if i % 4 == 0:  # planted near-dup: slight mutation of base
+            toks = base.split()
+            toks[rng.randrange(len(toks))] = rng.choice(words)
+            texts.append(" ".join(toks))
+    doc_ids = list(range(len(texts)))
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(pa.table({"doc_id": pa.array(doc_ids, pa.int64()),
+                             "text": pa.array(texts)}),
+                   str(d / "documents.parquet"))
+
+    # sequential reference: identical params, no distribution
+    m = D.MinHasher(num_perm=64, n_bands=16)
+    buckets: dict = {}
+    for did, txt in zip(doc_ids, texts):
+        sig = D.minhash_signature(txt, 64, 5, m.params)
+        for band, bucket in enumerate(D.band_buckets(sig, 16)):
+            buckets.setdefault((band, bucket), []).append(did)
+    expect = set()
+    for ids in buckets.values():
+        for a, b in D.candidate_pairs_from_bucket(ids):
+            if D.jaccard_ngrams(texts[a], texts[b]) >= 0.6:
+                expect.add((a, b))
+
+    got = QUERIES["minhash_near_dup_pairs"](str(d))
+    got_pairs = set(zip(got["doc_a"].to_pylist(), got["doc_b"].to_pylist()))
+    assert got_pairs == expect
+    assert len(expect) >= 10  # the planted dups were actually found
