@@ -230,6 +230,129 @@ class _PageParser(HTMLParser):
             self._close_node(self.stack.pop())
 
 
+# ---------------------------------------------------------------------------
+# Fast tag scanner. Python's stdlib HTMLParser dominates the whole parse
+# stage (~75% of flagship wall time in profile: goahead/parse_starttag/
+# updatepos bookkeeping). This scanner drives the SAME _PageParser event
+# interface (handle_starttag / handle_endtag / handle_data) over one regex
+# pass, reproducing the stdlib's observable event semantics (catalogued by
+# direct experiment and pinned by the differential tests in
+# tests/test_html_fast_scanner.py): lowercased tag names, lowercased attr
+# names with unescaped values, charref-decoded text, raw script/style
+# content with a case-insensitive terminator, '<'-as-text for non-tags,
+# self-closing -> start+end. The stdlib's TOLERANT tag grammar is weird in
+# ways not worth replicating (a tag can be named 'beta<b'; a quoted '>' can
+# turn the whole candidate tag into text), so the scanner claims only CLEAN
+# constructs: anything outside them raises _FallbackNeeded and extract()
+# reruns the whole document through the stdlib parser. On real corpora the
+# fallback is the rare path; on junk it preserves exact stdlib behavior.
+# ---------------------------------------------------------------------------
+
+
+class _FallbackNeeded(Exception):
+    """Construct outside the fast scanner's clean-markup grammar."""
+
+_STARTTAG_RE = re.compile(
+    r'<(?P<name>[a-zA-Z][-.a-zA-Z0-9:_]*)'
+    r'(?P<attrs>(?:\s+[^\s/>][^\s/=>]*(?:\s*=\s*(?:"[^"]*"|\'[^\']*\'|[^\s>]*))?)*)'
+    r'\s*(?P<slash>/?)>')
+_ENDTAG_RE = re.compile(r'</\s*([a-zA-Z][-.a-zA-Z0-9:_]*)[^>]*>')
+_ATTR_RE = re.compile(
+    r'([^\s/>][^\s/=>]*)(?:\s*=\s*("[^"]*"|\'[^\']*\'|[^\s>]*))?')
+_RAWTEXT_END = {
+    "script": re.compile(r'</\s*script(?=[\s>/])', re.IGNORECASE),
+    "style": re.compile(r'</\s*style(?=[\s>/])', re.IGNORECASE),
+}
+
+
+def _fast_feed(html: str, handler: "_PageParser") -> None:
+    """One-pass event scan; raises on nothing (junk degrades to text)."""
+    from html import unescape
+
+    emit_data = handler.handle_data
+    pos = 0
+    n = len(html)
+    find = html.find
+    while True:
+        lt = find("<", pos)
+        if lt < 0:
+            if pos < n:
+                text = html[pos:]
+                emit_data(unescape(text) if "&" in text else text)
+            return
+        if lt > pos:
+            text = html[pos:lt]
+            emit_data(unescape(text) if "&" in text else text)
+        head = html[lt + 1:lt + 2]
+        if head == "!":
+            if html.startswith("<!--", lt):
+                end = find("-->", lt + 4)
+                pos = end + 3 if end >= 0 else n
+            else:  # doctype / declaration
+                end = find(">", lt)
+                pos = end + 1 if end >= 0 else n
+        elif head == "?":
+            end = find(">", lt)
+            pos = end + 1 if end >= 0 else n
+        elif head == "/":
+            m = _ENDTAG_RE.match(html, lt)
+            if m is None:
+                gt = find(">", lt)
+                if gt >= 0:  # stdlib: '</>' / '</ >' / '</3>' swallowed
+                    pos = gt + 1
+                else:  # '</' at EOF: '<' then '/' degrade to text
+                    emit_data("<")
+                    pos = lt + 1
+            else:
+                handler.handle_endtag(m.group(1).lower())
+                pos = m.end()
+        else:
+            if not head.isalpha():
+                # stdlib: '<' before a non-letter is literal text
+                emit_data("<")
+                pos = lt + 1
+                continue
+            m = _STARTTAG_RE.match(html, lt)
+            if m is None:
+                # '<name' followed by something the clean grammar rejects
+                # (stdlib would tolerate e.g. '<' inside the tag NAME) —
+                # only the stdlib parser reproduces that behavior
+                raise _FallbackNeeded(html[lt:lt + 20])
+            name = m.group("name").lower()
+            raw_attrs = m.group("attrs")
+            attrs = []
+            if raw_attrs:
+                for am in _ATTR_RE.finditer(raw_attrs):
+                    val = am.group(2)
+                    if val is not None:
+                        if val[:1] in "\"'":
+                            if val[-1:] != val[:1] or len(val) < 2:
+                                raise _FallbackNeeded(val[:20])
+                            val = val[1:-1]
+                        elif '"' in val or "'" in val:
+                            # unquoted value holding a quote: the stdlib can
+                            # demote the entire candidate tag to text here
+                            raise _FallbackNeeded(val[:20])
+                        if "&" in val:
+                            val = unescape(val)
+                    attrs.append((am.group(1).lower(), val))
+            handler.handle_starttag(name, attrs)
+            pos = m.end()
+            if m.group("slash"):
+                handler.handle_endtag(name)
+            elif name in _RAWTEXT_END:
+                m2 = _RAWTEXT_END[name].search(html, pos)
+                if m2 is None:  # unterminated raw text: swallow to EOF
+                    if pos < n:
+                        emit_data(html[pos:])
+                    return
+                if m2.start() > pos:
+                    emit_data(html[pos:m2.start()])  # raw: no charref decode
+                m3 = _ENDTAG_RE.match(html, m2.start())
+                handler.handle_endtag(name)
+                pos = m3.end() if m3 is not None else m2.end()
+
+
 class HtmlMainContentExtractor:
     """Warmed-state extractor: compile-once config, called per document.
 
@@ -245,10 +368,16 @@ class HtmlMainContentExtractor:
     def extract(self, html: str) -> dict[str, Any]:
         parser = _PageParser(self.min_text_chars, self.max_link_density)
         try:
-            parser.feed(html)
+            _fast_feed(html, parser)
             parser.close()
         except Exception:
-            pass  # malformed markup: keep whatever was emitted before the error
+            # fallback: the battle-tested stdlib tokenizer, fresh state
+            parser = _PageParser(self.min_text_chars, self.max_link_density)
+            try:
+                parser.feed(html)
+                parser.close()
+            except Exception:
+                pass  # malformed markup: keep whatever was emitted
         blocks = (parser.blocks_in_container
                   if parser.container_seen and parser.blocks_in_container
                   else parser.blocks)
