@@ -1251,7 +1251,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
 # ---------------------------------------------------------------------------
 # pinned-golden oracles for queries whose semantics are not SQL-expressible
 # (sketches / LSH / parser): the oracle reads a committed parquet produced by
-# tools/make_goldens.py from the same deterministic computation (fixed seeds,
+# tools/make_query_goldens.py from the same deterministic computation (fixed seeds,
 # stable hashes). This upgrades the driver's check from rows-only to full
 # rows+schema+value-hash; it guards regressions, while the underlying
 # correctness is covered in pytest (signature parity, recall bounds,
