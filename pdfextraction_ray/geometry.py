@@ -39,6 +39,7 @@ from __future__ import annotations
 
 import math
 import re
+from functools import lru_cache
 from typing import Any, Optional
 
 Word = dict[str, Any]
@@ -177,18 +178,25 @@ def is_field_pattern(cluster: list[Word]) -> bool:
     4. contains a common-field substring
     5. last word (lowercased) is a field word
     An obvious value pattern vetoes everything first.
+
+    Pure in the cluster's word TEXTS, and label vocabulary repeats massively
+    across a web corpus — memoized on the text tuple (per worker process).
     """
     if not cluster:
         return False
-    lowered = " ".join(w["text"].lower() for w in cluster)
-    original = " ".join(w["text"] for w in cluster)
+    return _is_field_pattern_texts(tuple(w["text"] for w in cluster))
+
+
+@lru_cache(maxsize=1 << 16)
+def _is_field_pattern_texts(texts: tuple) -> bool:
+    lowered = " ".join(t.lower() for t in texts)
+    original = " ".join(texts)
     if is_obvious_value_pattern(original):
         return False
     if _KEYWORDS_RE.search(lowered):
         return True
     if _ENDINGS_RE.search(lowered):
         return True
-    texts = [w["text"] for w in cluster]
     if len(texts) >= 2:
         ntitle = sum(1 for t in texts if t and t[0].isupper() and not t.isupper())
         if ntitle >= len(texts) * 0.7:
