@@ -1,12 +1,17 @@
 """Multimodal column stages: opaque ``binary`` payloads + typed metadata,
 processed by actor-pool ``map_batches`` stages.
 
-The image/audio codec libraries are NOT installed in this environment, so the
-decode kernels are STUBS behind try-imports: with PIL/soundfile absent, decode
-raises ``NotImplementedError`` unless ``allow_fake=True``, in which case a
-deterministic fake (seeded by the payload bytes) stands in so the Ray-side
-plumbing — schema, batch shapes, actor lifecycle, output layout — is real and
-tested. Swap the kernel, keep the stage.
+Decode kernels, in priority order per payload:
+- **PNG** and **WAV** decode NATIVELY via ``functions/codecs.py`` (stdlib
+  zlib/struct/wave + numpy — no third-party codec needed); round-trip
+  correctness is pinned in tests/test_codecs.py.
+- other image/audio formats go through PIL / soundfile when installed
+  (absent in this sandbox — gated behind try-imports);
+- otherwise ``allow_fake=True`` substitutes a deterministic fake (seeded by
+  the payload digest) so the Ray-side plumbing — schema, batch shapes, actor
+  lifecycle, output layout — stays exercised, and ``allow_fake=False`` turns
+  the row into a captured ``decode_ok=False`` failure (batch survives).
+Video frame extraction remains a stub (no container parser in stdlib).
 """
 
 from __future__ import annotations
@@ -16,6 +21,8 @@ from typing import Any, Optional
 
 import numpy as np
 import pyarrow as pa
+
+from ..functions import codecs
 
 try:  # pragma: no cover - not installed here
     from PIL import Image  # type: ignore
@@ -41,10 +48,11 @@ def _fake_decode(payload: bytes, max_side: int = 64) -> np.ndarray:
 class ImageDecodeStage:
     """Actor stage: binary image column -> metadata + mean-channel features.
 
-    Real path (PIL present): decode, optional resize, channel means.
-    Sandbox path: ``allow_fake=True`` uses the deterministic fake; with
-    ``allow_fake=False`` and no PIL the row fails with NotImplementedError
-    captured per-row (decode_ok=False), batch survives.
+    PNG payloads decode natively (stdlib codec); other formats need PIL;
+    ``allow_fake=True`` substitutes the deterministic fake for them, else the
+    row fails captured (decode_ok=False) and the batch survives.
+    ``resize_to`` bounds the longest side (nearest-neighbor downsample) —
+    features are computed on the resized pixels.
     """
 
     def __init__(self, image_col: str = "image", resize_to: Optional[int] = None,
@@ -53,26 +61,31 @@ class ImageDecodeStage:
         self.resize_to = resize_to
         self.allow_fake = allow_fake
 
-    def _decode(self, payload: bytes) -> np.ndarray:
+    def _decode(self, payload: bytes) -> tuple[np.ndarray, str]:
+        if codecs.is_png(payload):
+            arr = codecs.png_decode(payload)
+            if self.resize_to:
+                arr = codecs.downsample_nearest(arr, self.resize_to)
+            return arr, "png"
         if _HAVE_PIL:  # pragma: no cover - library absent in this env
             import io
             img = Image.open(io.BytesIO(payload)).convert("RGB")
             if self.resize_to:
                 img = img.resize((self.resize_to, self.resize_to))
-            return np.asarray(img)
+            return np.asarray(img), "rgb8"
         if self.allow_fake:
-            return _fake_decode(payload)
-        raise NotImplementedError(
-            "image decode requires PIL (not installed); pass allow_fake=True "
-            "for the deterministic stand-in")
+            return _fake_decode(payload), "fake-rgb8"
+        raise ValueError(
+            "payload is not PNG and no other image codec is installed; pass "
+            "allow_fake=True for the deterministic stand-in")
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         metas, feats, oks, errs = [], [], [], []
         for payload in batch.column(self.image_col).to_pylist():
             try:
-                arr = self._decode(payload or b"")
+                arr, fmt = self._decode(payload or b"")
                 metas.append({"width": arr.shape[1], "height": arr.shape[0],
-                              "channels": arr.shape[2], "format": "rgb8"})
+                              "channels": arr.shape[2], "format": fmt})
                 feats.append(arr.reshape(-1, arr.shape[2]).mean(axis=0)
                              .astype(np.float32).tolist())
                 oks.append(True)
@@ -96,45 +109,52 @@ AUDIO_META_TYPE = pa.struct([("sample_rate", pa.int32()),
 
 
 class AudioFeatureStage:
-    """Audio decode + feature-extract plumbing: binary "audio" -> metadata +
-    fixed-width band-energy features. No audio codec ships in this container,
-    so the decode kernel is the deterministic fake (seeded PCM from the
-    payload digest) unless soundfile/librosa appear; the Ray-side shape —
-    small batches, actor pool, payload dropped at the stage — is real."""
+    """Audio decode + feature extraction: binary "audio" -> metadata +
+    fixed-width band-energy features. WAV (integer PCM) decodes natively via
+    the stdlib codec; other containers would need soundfile (absent here) —
+    ``allow_fake=True`` substitutes the deterministic fake for them, else
+    the row fails captured (decode_ok=False)."""
 
     def __init__(self, audio_col: str = "audio", n_bands: int = 8,
                  allow_fake: bool = False):
-        try:  # pragma: no cover - not installed here
-            import soundfile  # type: ignore # noqa: F401
-            self._have_codec = True
-        except ImportError:
-            self._have_codec = False
-        if not self._have_codec and not allow_fake:
-            raise NotImplementedError(
-                "audio decode requires soundfile (not installed); pass "
-                "allow_fake=True for the deterministic stand-in")
         self.audio_col = audio_col
         self.n_bands = n_bands
+        self.allow_fake = allow_fake
 
     def _decode(self, payload: bytes) -> tuple[np.ndarray, int]:
-        digest = hashlib.sha256(payload).digest()
-        rng = np.random.RandomState(int.from_bytes(digest[:4], "little"))
-        n = 1600 + int.from_bytes(digest[4:6], "little") % 14400
-        return rng.standard_normal(n).astype(np.float32), 16000
+        if codecs.is_wav(payload):
+            return codecs.wav_decode(payload)
+        if self.allow_fake:
+            digest = hashlib.sha256(payload).digest()
+            rng = np.random.RandomState(int.from_bytes(digest[:4], "little"))
+            n = 1600 + int.from_bytes(digest[4:6], "little") % 14400
+            return rng.standard_normal(n).astype(np.float32), 16000
+        raise ValueError(
+            "payload is not WAV and no other audio codec is installed; pass "
+            "allow_fake=True for the deterministic stand-in")
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        metas, feats = [], []
+        metas, feats, oks, errs = [], [], [], []
         for payload in batch.column(self.audio_col).to_pylist():
-            pcm, sr = self._decode(payload or b"")
-            bands = np.array_split(np.abs(np.fft.rfft(pcm)), self.n_bands)
-            energy = [float(np.mean(b)) for b in bands]
-            metas.append({"sample_rate": sr, "n_samples": len(pcm),
-                          "duration_s": len(pcm) / sr})
-            feats.append(energy)
+            try:
+                pcm, sr = self._decode(payload or b"")
+                bands = np.array_split(np.abs(np.fft.rfft(pcm)), self.n_bands)
+                metas.append({"sample_rate": sr, "n_samples": len(pcm),
+                              "duration_s": len(pcm) / sr})
+                feats.append([float(np.mean(b)) for b in bands])
+                oks.append(True)
+                errs.append(None)
+            except Exception as exc:
+                metas.append(None)
+                feats.append(None)
+                oks.append(False)
+                errs.append(f"{type(exc).__name__}: {exc}")
         batch = batch.drop_columns([self.audio_col])
         batch = batch.append_column("audio_meta", pa.array(metas, AUDIO_META_TYPE))
-        return batch.append_column("audio_features",
-                                   pa.array(feats, pa.list_(pa.float64())))
+        batch = batch.append_column("audio_features",
+                                    pa.array(feats, pa.list_(pa.float64())))
+        batch = batch.append_column("decode_ok", pa.array(oks, pa.bool_()))
+        return batch.append_column("decode_error", pa.array(errs, pa.string()))
 
 
 class FrameSampleStage:

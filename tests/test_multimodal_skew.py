@@ -18,11 +18,10 @@ def image_table(n=10):
         "image": [f"payload-{i}".encode() for i in range(n)]})
 
 
-def test_image_decode_stub_requires_opt_in():
+def test_image_decode_non_png_requires_opt_in():
     out = ImageDecodeStage(allow_fake=False)(image_table(3))
     assert out.column("decode_ok").to_pylist() == [False] * 3
-    assert all("NotImplementedError" in e
-               for e in out.column("decode_error").to_pylist())
+    assert all("not PNG" in e for e in out.column("decode_error").to_pylist())
 
 
 def test_image_decode_fake_is_deterministic():
@@ -88,8 +87,9 @@ def test_audio_feature_stage():
     from pdfextraction_ray.stages.multimodal import AudioFeatureStage
     t = pa.Table.from_pydict({"url": ["a", "b"],
                               "audio": [b"wavbytes1", b"wavbytes2"]})
-    with pytest.raises(NotImplementedError):
-        AudioFeatureStage(allow_fake=False)
+    # non-WAV junk without the fake: captured per-row failure, batch survives
+    strict = AudioFeatureStage(allow_fake=False)(t)
+    assert strict.column("decode_ok").to_pylist() == [False, False]
     out1 = AudioFeatureStage(allow_fake=True)(t)
     out2 = AudioFeatureStage(allow_fake=True)(t)
     assert out1.column("audio_features").to_pylist() == \
@@ -98,3 +98,40 @@ def test_audio_feature_stage():
     meta = out1.column("audio_meta").to_pylist()[0]
     assert meta["sample_rate"] == 16000 and meta["n_samples"] > 0
     assert len(out1.column("audio_features").to_pylist()[0]) == 8
+
+
+def test_audio_feature_stage_decodes_real_wav():
+    import numpy as np
+    from pdfextraction_ray.functions.codecs import wav_encode
+    from pdfextraction_ray.stages.multimodal import AudioFeatureStage
+    sr = 8000
+    tgrid = np.arange(sr) / sr  # one second of 440 Hz sine
+    wav = wav_encode(0.5 * np.sin(2 * np.pi * 440 * tgrid), sr)
+    t = pa.Table.from_pydict({"url": ["a"], "audio": [wav]})
+    out = AudioFeatureStage(allow_fake=False, n_bands=8)(t)
+    assert out.column("decode_ok").to_pylist() == [True]
+    meta = out.column("audio_meta").to_pylist()[0]
+    assert meta["sample_rate"] == sr and meta["n_samples"] == sr
+    feats = out.column("audio_features").to_pylist()[0]
+    # 440 Hz lands in the lowest of 8 bands over a 0-4 kHz spectrum
+    assert feats.index(max(feats)) == 0
+
+
+def test_image_decode_stage_decodes_real_png():
+    import numpy as np
+    from pdfextraction_ray.functions.codecs import png_encode
+    from pdfextraction_ray.stages.multimodal import ImageDecodeStage
+    rng = np.random.RandomState(3)
+    img = rng.randint(0, 256, size=(40, 30, 3), dtype=np.uint8)
+    t = pa.Table.from_pydict({"url": ["a"], "image": [png_encode(img)]})
+    out = ImageDecodeStage(allow_fake=False)(t)
+    assert out.column("decode_ok").to_pylist() == [True]
+    meta = out.column("image_meta").to_pylist()[0]
+    assert (meta["width"], meta["height"], meta["channels"]) == (30, 40, 3)
+    assert meta["format"] == "png"
+    feats = out.column("image_features").to_pylist()[0]
+    assert np.allclose(feats, img.reshape(-1, 3).mean(axis=0), atol=0.01)
+    # resize_to bounds the longest side
+    small = ImageDecodeStage(allow_fake=False, resize_to=16)(t)
+    m = small.column("image_meta").to_pylist()[0]
+    assert max(m["width"], m["height"]) == 16
