@@ -353,3 +353,28 @@ def write_corpus(out_dir: str, n_rows: int, seed: int = 42, n_shards: int = 8) -
         pq.write_table(build_corpus_table(count, seed, start=start), path)
         paths.append(path)
     return paths
+
+
+def build_media_table(n_rows: int, seed: int = 42) -> "pa.Table":
+    """Deterministic multimodal corpus: one PNG image and one WAV clip per
+    row (REAL encoded bytes via functions/codecs.py — the media analogue of
+    build_corpus_table; no external data, reproducible bit-for-bit)."""
+    from .functions.codecs import png_encode, wav_encode
+
+    ids, images, audios = [], [], []
+    for i in range(n_rows):
+        rng = np.random.RandomState((seed << 16) ^ i)
+        h = 8 + int(rng.randint(0, 40))
+        w = 8 + int(rng.randint(0, 40))
+        img = rng.randint(0, 256, size=(h, w, 3)).astype(np.uint8)
+        freq = 110.0 * (1 + int(rng.randint(0, 8)))
+        n = 2000 + int(rng.randint(0, 2000))
+        t = np.arange(n) / 8000.0
+        pcm = 0.4 * np.sin(2 * np.pi * freq * t)
+        ids.append(i)
+        images.append(png_encode(img))
+        audios.append(wav_encode(pcm, 8000))
+    return pa.Table.from_pydict({
+        "media_id": pa.array(ids, pa.int64()),
+        "image": pa.array(images, pa.binary()),
+        "audio": pa.array(audios, pa.binary())})

@@ -1208,6 +1208,54 @@ def q_extract_pages(sf_dir: str) -> pa.Table:
 
 
 # ---------------------------------------------------------------------------
+# multimodal: image / audio feature extraction over a deterministic synthetic
+# media corpus (REAL stdlib PNG/WAV decode — functions/codecs.py), sized from
+# sf_dir like q_extract_pages. Driver-checked via pinned goldens.
+# ---------------------------------------------------------------------------
+
+def _media_corpus(sf_dir: str) -> "rd.Dataset":
+    from .fixtures import build_media_table
+    n = pq.read_metadata(_p(sf_dir, "documents")).num_rows
+    return rd.from_arrow(build_media_table(min(n, 500), seed=42))
+
+
+def q_image_features(sf_dir: str) -> pa.Table:
+    from .stages.multimodal import ImageDecodeStage
+    out = _media_corpus(sf_dir).map_batches(
+        ImageDecodeStage,
+        fn_constructor_kwargs={"allow_fake": False, "resize_to": 32},
+        batch_format="pyarrow", batch_size=32, concurrency=(1, 4)) \
+        .select_columns(["media_id", "image_meta", "decode_ok"])
+    df = out.to_pandas().sort_values("media_id")
+    return pa.Table.from_pydict({
+        "media_id": pa.array(df["media_id"], pa.int64()),
+        "width": pa.array([m["width"] for m in df["image_meta"]], pa.int32()),
+        "height": pa.array([m["height"] for m in df["image_meta"]], pa.int32()),
+        "channels": pa.array([m["channels"] for m in df["image_meta"]], pa.int32()),
+        "decode_ok": pa.array(df["decode_ok"], pa.bool_())})
+
+
+def q_audio_features(sf_dir: str) -> pa.Table:
+    from .stages.multimodal import AudioFeatureStage
+    out = _media_corpus(sf_dir).map_batches(
+        AudioFeatureStage, fn_constructor_kwargs={"allow_fake": False},
+        batch_format="pyarrow", batch_size=32, concurrency=(1, 4)) \
+        .select_columns(["media_id", "audio_meta", "audio_features", "decode_ok"])
+    df = out.to_pandas().sort_values("media_id")
+    # dominant band index is integer-stable across platforms; raw FFT energies
+    # would be float-hash-fragile
+    top_band = [int(np.argmax(f)) for f in df["audio_features"]]
+    return pa.Table.from_pydict({
+        "media_id": pa.array(df["media_id"], pa.int64()),
+        "sample_rate": pa.array([m["sample_rate"] for m in df["audio_meta"]],
+                                pa.int32()),
+        "n_samples": pa.array([m["n_samples"] for m in df["audio_meta"]],
+                              pa.int64()),
+        "top_band": pa.array(top_band, pa.int64()),
+        "decode_ok": pa.array(df["decode_ok"], pa.bool_())})
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -1246,6 +1294,8 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "doc_fingerprints": q_doc_fingerprints,
     "language_id": q_language_id,
     "extract_pages": q_extract_pages,
+    "image_features": q_image_features,
+    "audio_features": q_audio_features,
 }
 
 # ---------------------------------------------------------------------------
@@ -1265,7 +1315,8 @@ _GOLDEN_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__fil
 GOLDEN_ORACLE_QUERIES = ("minhash_near_dup_pairs", "simhash_near_dup_pairs",
                          "simhash_fingerprints", "doc_fingerprints",
                          "language_id", "embedding_ann_lsh",
-                         "embedding_near_dup_lsh", "extract_pages")
+                         "embedding_near_dup_lsh", "extract_pages",
+                         "image_features", "audio_features")
 
 
 def _golden_sql(name: str, sf: str = "sf0.01") -> str:

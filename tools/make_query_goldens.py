@@ -26,6 +26,8 @@ GOLDEN_QUERIES = [
     "embedding_ann_lsh",
     "embedding_near_dup_lsh",
     "extract_pages",
+    "image_features",
+    "audio_features",
 ]
 
 OUT_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
