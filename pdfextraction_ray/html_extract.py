@@ -263,6 +263,9 @@ _RAWTEXT_END = {
     "script": re.compile(r'</\s*script(?=[\s>/])', re.IGNORECASE),
     "style": re.compile(r'</\s*style(?=[\s>/])', re.IGNORECASE),
 }
+# stdlib comment grammar: minimal body then '--', optional whitespace, '>'
+# ('<!--x-- >' closes, '<!-->' does NOT — it degrades to literal text)
+_COMMENT_RE = re.compile(r"<!--.*?--\s*>", re.DOTALL)
 
 
 def _fast_feed(html: str, handler: "_PageParser") -> None:
@@ -286,8 +289,12 @@ def _fast_feed(html: str, handler: "_PageParser") -> None:
         head = html[lt + 1:lt + 2]
         if head == "!":
             if html.startswith("<!--", lt):
-                end = find("-->", lt + 4)
-                pos = end + 3 if end >= 0 else n
+                m = _COMMENT_RE.match(html, lt)
+                if m is not None:
+                    pos = m.end()
+                else:  # unterminated / degenerate: '<' degrades to text
+                    emit_data("<")
+                    pos = lt + 1
             else:  # doctype / declaration
                 end = find(">", lt)
                 pos = end + 1 if end >= 0 else n

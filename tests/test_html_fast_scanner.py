@@ -104,3 +104,17 @@ def test_fast_scanner_matches_stdlib_on_fixture_corpus():
         assert ex.extract(doc) == _stdlib_extract(doc)
         checked += 1
     assert checked >= 100
+
+
+def test_fast_scanner_matches_stdlib_on_adversarial_junk():
+    """Character-soup fuzz targeting tokenizer edges (comment terminators,
+    stray quotes/brackets, NULs, non-ASCII): 12,000 docs, exact parity."""
+    junk = list("<>/&=\"' ;abpPmMdDiv!-?\n\t\x00é€") + [
+        "script", "style", "main", "p", "amp;", "#65;", "--", "<!--", "-->",
+        "--!>", "-- >"]
+    ex = H.HtmlMainContentExtractor()
+    for seed in (99, 7, 12345):
+        rng = random.Random(seed)
+        for _ in range(4000):
+            doc = "".join(rng.choice(junk) for _ in range(rng.randint(0, 120)))
+            assert ex.extract(doc) == _stdlib_extract(doc), doc[:80]
