@@ -848,20 +848,29 @@ ORDER BY vec_a, vec_b
 def q_user_sessions(sf_dir: str, gap_minutes: int = 30) -> pa.Table:
     gap_us = gap_minutes * 60_000_000
 
-    def sessionize(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("ts")
-        ts_us = g["ts"].astype("int64")
-        new_session = (ts_us.diff() > gap_us).fillna(True)
-        sid = new_session.cumsum()
-        out = g.assign(_sid=sid).groupby("_sid").agg(
-            user_id=("user_id", "first"), session_start=("ts", "min"),
-            session_end=("ts", "max"), n_events=("ts", "size"),
-            sum_value=("value", "sum")).reset_index(drop=True)
-        out["n_events"] = out["n_events"].astype("int64")
-        return out
+    def sessionize(g: pa.Table) -> pa.Table:
+        """Vectorized gap-based sessionizer: argsort + boundary mask +
+        reduceat — no per-session Python (the map_groups callback runs once
+        per user; pandas' per-group machinery was the constant-factor cost)."""
+        ts = g.column("ts").to_numpy(zero_copy_only=False)
+        val = g.column("value").to_numpy(zero_copy_only=False)
+        order = np.argsort(ts, kind="stable")
+        ts, val = ts[order], val[order]
+        ts_us = ts.astype("datetime64[us]").astype(np.int64)
+        new = np.ones(len(ts), dtype=bool)
+        new[1:] = (ts_us[1:] - ts_us[:-1]) > gap_us
+        starts = np.nonzero(new)[0]
+        ends = np.append(starts[1:], len(ts))
+        uid = g.column("user_id")[0].as_py()
+        return pa.Table.from_pydict({
+            "user_id": pa.array([uid] * len(starts), g.schema.field("user_id").type),
+            "session_start": pa.array(ts[starts]),
+            "session_end": pa.array(ts[ends - 1]),
+            "n_events": pa.array(ends - starts, pa.int64()),
+            "sum_value": pa.array(np.add.reduceat(val, starts), pa.float64())})
 
     ds = rd.read_parquet(_p(sf_dir, "events"), columns=["user_id", "ts", "value"])
-    out = ds.groupby("user_id").map_groups(sessionize, batch_format="pandas")
+    out = ds.groupby("user_id").map_groups(sessionize, batch_format="pyarrow")
     t = pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
     return _round4(t, ["sum_value"]).sort_by([
         ("user_id", "ascending"), ("session_start", "ascending")])
