@@ -99,14 +99,27 @@ class DocumentParser:
                  proximity_multiplier: float = G.PROXIMITY_MULTIPLIER,
                  max_payload_bytes: int = MAX_PAYLOAD_BYTES,
                  max_words: int = MAX_WORDS,
-                 config_overrides: "Any | None" = None):
+                 config_overrides: "Any | None" = None,
+                 preprocessing_mode: str = "spatial"):
         """``config_overrides``: a :class:`ParserConfigOverrides` (or a plain
         ``{domain: {param: value}}`` dict) consulted per row — the A8
         feedback loop (reference services/feedback_analyzer.py:14-54 applied
         at services/openai_service.py:1006-1248) re-expressed as versioned
         per-domain parser parameters instead of per-call LLM instructions.
         Supported params: ``min_text_chars``, ``max_link_density`` (HTML
-        stripper) and ``proximity_multiplier`` (word clustering)."""
+        stripper) and ``proximity_multiplier`` (word clustering).
+
+        ``preprocessing_mode`` is the reference's ``original|spatial`` switch
+        (app.py:337-352; ``vision`` needs absent codec libraries): "spatial"
+        (default) runs the full byte-contract geometry pipeline; "original"
+        emits plain reading-order text for word payloads — lines joined by
+        newline, words by single spaces, no field/table analysis (the
+        reference's original mode feeds raw ``page_data['text']`` downstream
+        with no spatial structure)."""
+        if preprocessing_mode not in ("spatial", "original"):
+            raise ValueError(f"unknown preprocessing_mode {preprocessing_mode!r}"
+                             " (use 'spatial' or 'original')")
+        self.preprocessing_mode = preprocessing_mode
         self.min_text_chars = min_text_chars
         self.html = HtmlMainContentExtractor(min_text_chars=min_text_chars)
         self.proximity_multiplier = proximity_multiplier
@@ -143,8 +156,34 @@ class DocumentParser:
         return hit
 
     # -- per-document parsers ----------------------------------------------
+    def _parse_words_original(self, payload: bytes) -> dict[str, Any]:
+        """Original mode: reading-order text, no spatial analysis."""
+        words = decode_words(payload)
+        if len(words) > self.max_words:
+            raise ValueError(f"word count {len(words)} exceeds the "
+                             f"{self.max_words}-word per-document cap")
+        lines = G.group_words_into_lines(words)
+        text = G.LINE_JOIN.join(" ".join(w["text"] for w in ln) for ln in lines)
+        spans = []
+        pos = 0
+        for ln in text.split(G.LINE_JOIN) if text else []:
+            spans.append({"start": pos, "end": pos + len(ln), "kind": "line"})
+            pos += len(ln) + len(G.LINE_JOIN)
+        return {
+            "doc_kind": KIND_WORDS,
+            "classification": "unclassified",
+            "class_confidence": 0.0,
+            "schema": {"form_fields": [], "tables": [],
+                       "field_type": "unclassified"},
+            "extracted_text": text,
+            "fields": [], "tables": [], "spans": spans,
+            "n_words": len(words),
+        }
+
     def _parse_words(self, payload: bytes,
                      proximity_multiplier: float) -> dict[str, Any]:
+        if self.preprocessing_mode == "original":
+            return self._parse_words_original(payload)
         words = decode_words(payload)
         if len(words) > self.max_words:
             raise ValueError(f"word count {len(words)} exceeds the "

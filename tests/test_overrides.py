@@ -94,3 +94,22 @@ def test_parse_pages_routes_config_overrides(ray_session):
     base = parse_pages(rd.from_arrow(batch)).to_pandas()
     assert out.iloc[0]["extracted_text"] != base.iloc[0]["extracted_text"]
     assert out.iloc[1]["extracted_text"] == base.iloc[1]["extracted_text"]
+
+
+def test_preprocessing_mode_original(ray_session):
+    """§2.11 mode switch (reference original|spatial, app.py:337-352):
+    original mode emits plain reading-order text — no field/table analysis —
+    while spatial (default) keeps the byte contract."""
+    import pytest as _pytest
+    batch = _corpus()
+    spatial = DocumentParser()(batch).to_pylist()
+    original = DocumentParser(preprocessing_mode="original")(batch).to_pylist()
+    assert G.FIELD_SEP in spatial[0]["extracted_text"]
+    assert G.FIELD_SEP not in original[0]["extracted_text"]
+    assert original[0]["fields"] == [] and original[0]["tables"] == []
+    assert original[0]["parse_ok"]
+    # same words, same line structure: strip the spatial formatting tokens
+    assert original[0]["extracted_text"].split("\n")[0].startswith(
+        spatial[0]["extracted_text"].split("\n")[0].split(G.FIELD_SEP)[0].split("    ")[0])
+    with _pytest.raises(ValueError):
+        DocumentParser(preprocessing_mode="vision")
