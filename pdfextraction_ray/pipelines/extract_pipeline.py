@@ -23,7 +23,8 @@ def parse_pages(ds: "ray.data.Dataset", *,
                 batch_size: int = DEFAULT_BATCH_SIZE,
                 concurrency: Optional[Union[int, tuple[int, int]]] = None,
                 min_text_chars: int = 25,
-                config_overrides=None) -> "ray.data.Dataset":
+                config_overrides=None,
+                preprocessing_mode: str = "spatial") -> "ray.data.Dataset":
     """Apply the document parser to a pages Dataset.
 
     Two physical forms (same semantics):
@@ -41,7 +42,8 @@ def parse_pages(ds: "ray.data.Dataset", *,
     ``batch_size`` bounds batch x payload in the worker heap; 512 is sized
     for ~KB-scale payloads — drop it for corpora with MB-scale pages.
     """
-    if concurrency is None and min_text_chars == 25 and config_overrides is None:
+    if (concurrency is None and min_text_chars == 25
+            and config_overrides is None and preprocessing_mode == "spatial"):
         return ds.map_batches(parse_batch_task, batch_format="pyarrow",
                               zero_copy_batch=True, batch_size=batch_size)
     if concurrency is None:
@@ -54,7 +56,8 @@ def parse_pages(ds: "ray.data.Dataset", *,
     return ds.map_batches(
         DocumentParser,
         fn_constructor_kwargs={"min_text_chars": min_text_chars,
-                               "config_overrides": config_overrides},
+                               "config_overrides": config_overrides,
+                               "preprocessing_mode": preprocessing_mode},
         batch_format="pyarrow",
         zero_copy_batch=True,
         batch_size=batch_size,
