@@ -148,17 +148,23 @@ FROM events ORDER BY ts DESC, event_id ASC LIMIT 10
 # ---------------------------------------------------------------------------
 
 def q_events_by_type(sf_dir: str) -> pa.Table:
+    """ONE wide shuffle: per-(type, user) partials carry everything the
+    per-type rollup needs (n_events = sum of partial counts, total_value =
+    sum of partial sums, n_users = count of partial rows) — the events table
+    is scanned once, not twice."""
     ds = rd.read_parquet(_p(sf_dir, "events"),
                          columns=["event_type", "user_id", "value"])
-    totals = ds.groupby("event_type").aggregate(
-        Count(alias_name="n_events"), Sum("value", alias_name="total_value"))
-    uniq = (ds.groupby(["event_type", "user_id"]).aggregate(Count(alias_name="_c"))
-            .groupby("event_type").aggregate(Count(alias_name="n_users")))
-    out = totals.to_pandas().merge(uniq.to_pandas(), on="event_type")
-    t = pa.Table.from_pandas(out, preserve_index=False)
-    t = t.set_column(t.schema.get_field_index("n_users"), "n_users",
-                     pc.cast(t.column("n_users"), pa.int64()))
-    return _round4(t, ["total_value"]).sort_by("event_type")
+    per_user = ds.groupby(["event_type", "user_id"]).aggregate(
+        Count(alias_name="_n"), Sum("value", alias_name="_v"))
+    rolled = per_user.groupby("event_type").aggregate(
+        Sum("_n", alias_name="n_events"), Sum("_v", alias_name="total_value"),
+        Count(alias_name="n_users"))
+    t = pa.Table.from_pandas(rolled.to_pandas(), preserve_index=False)
+    for c in ("n_events", "n_users"):
+        t = t.set_column(t.schema.get_field_index(c), c,
+                         pc.cast(t.column(c), pa.int64()))
+    return _round4(t, ["total_value"]).sort_by("event_type") \
+        .select(["event_type", "n_events", "total_value", "n_users"])
 
 
 SQL_EVENTS_BY_TYPE = """
