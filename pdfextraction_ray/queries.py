@@ -1222,6 +1222,50 @@ def q_extract_pages(sf_dir: str) -> pa.Table:
     return pa.Table.from_pandas(out.to_pandas(), preserve_index=False).sort_by("url")
 
 
+@ray.remote
+def _jaccard_block_pair(a: pa.Table, b: pa.Table, same_block: bool,
+                        threshold: float) -> pa.Table:
+    """Exact n-gram Jaccard for one block pair; each side shingled once."""
+    ida = a.column("doc_id").to_pylist()
+    idb = b.column("doc_id").to_pylist()
+    sha = [D._shingle_hashes(t) for t in a.column("text").to_pylist()]
+    shb = (sha if same_block
+           else [D._shingle_hashes(t) for t in b.column("text").to_pylist()])
+    rows = []
+    for i, da in enumerate(ida):
+        for j, db in enumerate(idb):
+            if da >= db:  # unordered pair once; no self-pairs
+                continue
+            jac = D.jaccard_from_shingles(sha[i], shb[j])
+            if jac >= threshold:
+                rows.append((da, db, round(jac, 4)))
+    rows.sort()
+    return pa.Table.from_pydict({
+        "doc_a": pa.array([r[0] for r in rows], pa.int64()),
+        "doc_b": pa.array([r[1] for r in rows], pa.int64()),
+        "jaccard": pa.array([r[2] for r in rows], pa.float64())})
+
+
+def q_ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.6) -> pa.Table:
+    """EXACT character-n-gram Jaccard near-dup over ALL pairs — the oracle
+    the approximate paths are judged against (q_minhash_near_dup_pairs is
+    exactly this restricted to LSH candidates, asserted in tests). O(n^2)
+    pair comparisons are inherent to exactness; blocks stay in the object
+    store (`to_arrow_refs`) and K(K+1)/2 raw Ray tasks each score one block
+    pair with per-side shingle caches — same shape as the exact embedding
+    path. MinHash+LSH is the declared scale path."""
+    ds = rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+    pre = ds.map_batches(lambda t: t, batch_format="pyarrow",
+                         batch_size=512).materialize()
+    blocks = pre.to_arrow_refs()
+    futures = [_jaccard_block_pair.remote(blocks[i], blocks[j], i == j, threshold)
+               for i in range(len(blocks)) for j in range(i, len(blocks))]
+    if not futures:
+        return pa.Table.from_pydict(_EMPTY_JACCARD)
+    return pa.concat_tables(ray.get(futures)).sort_by(
+        [("doc_a", "ascending"), ("doc_b", "ascending")])
+
+
 # ---------------------------------------------------------------------------
 # multimodal: image / audio feature extraction over a deterministic synthetic
 # media corpus (REAL stdlib PNG/WAV decode — functions/codecs.py), sized from
@@ -1304,6 +1348,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "top_event_per_user": q_top_event_per_user,
     "orders_customer_join": q_orders_customer_join,
     "minhash_near_dup_pairs": q_minhash_near_dup_pairs,
+    "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
     "simhash_fingerprints": q_simhash_fingerprints,
     "simhash_near_dup_pairs": q_simhash_near_dup_pairs,
     "doc_fingerprints": q_doc_fingerprints,
@@ -1327,7 +1372,8 @@ QUERIES: dict[str, Callable[[str], Any]] = {
 _GOLDEN_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
                            "tests", "goldens", "queries")
 
-GOLDEN_ORACLE_QUERIES = ("minhash_near_dup_pairs", "simhash_near_dup_pairs",
+GOLDEN_ORACLE_QUERIES = ("minhash_near_dup_pairs", "ngram_jaccard_pairs",
+                         "simhash_near_dup_pairs",
                          "simhash_fingerprints", "doc_fingerprints",
                          "language_id", "embedding_ann_lsh",
                          "embedding_near_dup_lsh", "extract_pages",

@@ -188,3 +188,16 @@ def test_minhash_pipeline_equals_sequential_reference(ray_session, tmp_path):
     got_pairs = set(zip(got["doc_a"].to_pylist(), got["doc_b"].to_pylist()))
     assert got_pairs == expect
     assert len(expect) >= 10  # the planted dups were actually found
+
+
+def test_minhash_pairs_subset_of_exact_jaccard(ray_session):
+    """The LSH-candidate-restricted minhash query must be a subset of the
+    exact all-pairs n-gram Jaccard query at the same 0.6 threshold (and at
+    these scales recall is total: the sets are equal)."""
+    from pdfextraction_ray.queries import QUERIES
+    exact = _to_pandas(QUERIES["ngram_jaccard_pairs"](SF))
+    lsh = _to_pandas(QUERIES["minhash_near_dup_pairs"](SF))
+    e = set(zip(exact["doc_a"], exact["doc_b"]))
+    m = set(zip(lsh["doc_a"], lsh["doc_b"]))
+    assert m <= e
+    assert len(m) >= int(0.9 * len(e))

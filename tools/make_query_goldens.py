@@ -19,6 +19,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 GOLDEN_QUERIES = [
     "minhash_near_dup_pairs",
+    "ngram_jaccard_pairs",
     "simhash_near_dup_pairs",
     "simhash_fingerprints",
     "doc_fingerprints",
