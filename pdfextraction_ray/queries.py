@@ -285,6 +285,25 @@ class _BroadcastLookup:
         return t.append_column(self.out_col, vals)
 
 
+_LOOKUP_CACHE: dict = {}
+
+
+def _broadcast_lookup_task(t: pa.Table, mapping_ref, key_col: str,
+                           out_col: str) -> pa.Table:
+    """Task form of _BroadcastLookup with a per-worker-process cache: use
+    inside plans that also contain reserving operators (e.g. JoinOperator) —
+    task pools cannot reservation-deadlock the way actor pools can (see
+    pipelines/runner.py note)."""
+    key = mapping_ref.hex() if hasattr(mapping_ref, "hex") else id(mapping_ref)
+    arrs = _LOOKUP_CACHE.get(key)
+    if arrs is None:
+        mapping: dict = ray.get(mapping_ref)
+        arrs = (pa.array(list(mapping.keys())), pa.array(list(mapping.values())))
+        _LOOKUP_CACHE[key] = arrs
+    idx = pc.index_in(t.column(key_col), value_set=arrs[0])
+    return t.append_column(out_col, pc.take(arrs[1], idx))
+
+
 def q_customer_nation_balance(sf_dir: str) -> pa.Table:
     nation = pq.read_table(_p(sf_dir, "nation"), columns=["n_nationkey", "n_name"])
     mapping = dict(zip(nation.column("n_nationkey").to_pylist(),
@@ -463,13 +482,13 @@ def q_segment_revenue(sf_dir: str) -> pa.Table:
     cust_ref = ray.put(dict(zip(cust.column("c_custkey").to_pylist(),
                                 cust.column("c_mktsegment").to_pylist())))
 
+    # task form of the lookup: an actor pool would RESERVE CPUs inside the
+    # same plan as the JoinOperator (see the runner's deadlock note)
     orders_seg = rd.read_parquet(_p(sf_dir, "orders"),
                                  columns=["o_orderkey", "o_custkey"]) \
-        .map_batches(_BroadcastLookup,
-                     fn_constructor_kwargs={"mapping_ref": cust_ref,
-                                            "key_col": "o_custkey",
-                                            "out_col": "c_mktsegment"},
-                     batch_format="pyarrow", concurrency=(1, 4)) \
+        .map_batches(lambda t: _broadcast_lookup_task(t, cust_ref,
+                                                      "o_custkey", "c_mktsegment"),
+                     batch_format="pyarrow") \
         .select_columns(["o_orderkey", "c_mktsegment"])
 
     line = rd.read_parquet(_p(sf_dir, "lineitem"),
