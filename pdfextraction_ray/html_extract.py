@@ -295,6 +295,11 @@ def _fast_feed(html: str, handler: "_PageParser") -> None:
                 else:  # unterminated / degenerate: '<' degrades to text
                     emit_data("<")
                     pos = lt + 1
+            elif html.startswith("<![", lt):
+                # marked section ('<![CDATA[..]]>', '<![if ..]>'): stdlib
+                # terminates at ']]>' not the first '>' — rare construct,
+                # the stdlib fallback is cheap and keeps exact parity
+                raise _FallbackNeeded(html[lt:lt + 20])
             else:  # doctype / declaration
                 end = find(">", lt)
                 pos = end + 1 if end >= 0 else n

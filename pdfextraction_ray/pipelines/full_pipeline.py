@@ -43,6 +43,13 @@ def run_full_pipeline(paths: Union[str, list[str]], out_dir: str, *,
                       batch_size: int = 512,
                       ) -> dict[str, Any]:
     """Execute the composed job; returns {written_rows, domains} summary.
+
+    ``merge_records=True`` BYPASSES ``dedup``: the multi-record merge consumes
+    every crawl of a url as ordered pages (page_number = warc_ts rank within
+    the url group; same-crawl duplicates dropped in-group), so the url-level
+    latest-wins dedup would collapse the pages before the merge saw them.
+    ``dedup`` only takes effect when ``merge_records=False``.
+
     The envelope write and the domain histogram both consume the same parsed
     Dataset; Ray re-executes the lazy graph per consumption, so for the
     small histogram we aggregate from the WRITTEN output columns instead

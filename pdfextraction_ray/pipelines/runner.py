@@ -125,6 +125,12 @@ def run_resumable(input_paths: Union[str, list[str]], out_dir: str, *,
     _stabilize_fsspec_http_import); remote tasks have neither problem. The
     orchestrating tasks take ``num_cpus=0`` so they never hold CPU slots the
     pipelines they launch need.
+
+    NOTE: in that mode an explicit ``concurrency`` argument (actor-pool parse
+    stage) is IGNORED with a warning — actor pools reserve CPUs while starved
+    and deadlock concurrent nested pipelines; the task-form parse stage has
+    identical semantics. Run partitions sequentially if an actor pool is
+    required.
     """
     if isinstance(input_paths, str):
         input_paths = sorted(glob.glob(os.path.join(input_paths, "*.parquet")))
@@ -146,6 +152,14 @@ def run_resumable(input_paths: Union[str, list[str]], out_dir: str, *,
         # use it; run partitions sequentially when an actor pool is required
         # (heavyweight state), where each partition saturates the cluster on
         # its own.
+        if concurrency is not None:
+            import warnings
+            warnings.warn(
+                "max_concurrent_partitions > 1 forces the task-form parse "
+                "stage; the explicit concurrency=%r (actor pool) is ignored "
+                "to avoid actor-pool CPU-reservation deadlock across "
+                "concurrent nested pipelines" % (concurrency,),
+                stacklevel=2)
         concurrency = None
         ncpu = int(ray.cluster_resources().get("CPU", 8))
         window = max(1, min(max_concurrent_partitions, ncpu - 1))

@@ -78,9 +78,12 @@ def _q1_partial(batch: pa.Table) -> pa.Table:
     }).group_by(["l_returnflag", "l_linestatus"]).aggregate([
         ("l_quantity", "sum"), ("l_extendedprice", "sum"), ("disc_price", "sum"),
         ("charge", "sum"), ("l_discount", "sum"), ("l_quantity", "count")])
-    return g.rename_columns(_Q1_PARTIAL_COLS[:2] + ["sum_qty", "sum_base_price",
-                                                    "sum_disc_price", "sum_charge",
-                                                    "sum_disc", "n"])
+    # select by NAME first (pyarrow's keys-vs-aggregates column order has
+    # differed across releases), then the rename is order-safe
+    g = g.select(["l_returnflag", "l_linestatus", "l_quantity_sum",
+                  "l_extendedprice_sum", "disc_price_sum", "charge_sum",
+                  "l_discount_sum", "l_quantity_count"])
+    return g.rename_columns(_Q1_PARTIAL_COLS)
 
 
 def q_pricing_summary(sf_dir: str) -> pa.Table:
@@ -1253,11 +1256,17 @@ def _jaccard_block_pair(a: pa.Table, b: pa.Table, same_block: bool,
     rows = []
     for i, da in enumerate(ida):
         for j, db in enumerate(idb):
-            if da >= db:  # unordered pair once; no self-pairs
+            # same_block: each unordered pair appears in both (i,j) orders, so
+            # keep da<db. Cross-block: a pair appears ONCE per task regardless
+            # of id order (block order is NOT doc_id order — preserve_order is
+            # off), so only self-pairs are skipped and output is normalized to
+            # (lo, hi) below.
+            if (da >= db) if same_block else (da == db):
                 continue
             jac = D.jaccard_from_shingles(sha[i], shb[j])
             if jac >= threshold:
-                rows.append((da, db, round(jac, 4)))
+                lo, hi = (da, db) if da < db else (db, da)
+                rows.append((lo, hi, round(jac, 4)))
     rows.sort()
     return pa.Table.from_pydict({
         "doc_a": pa.array([r[0] for r in rows], pa.int64()),

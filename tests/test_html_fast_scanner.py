@@ -54,6 +54,11 @@ EDGE_CASES = [
     '<main><p>kept main text with a sufficient number of characters in it</p></main>',
     "",
     "just plain text without any markup at all, long enough to be a block if wrapped",
+    # marked sections terminate at ']]>' / ']>' in the stdlib, not the first
+    # '>' — the fast scanner must fall back (ADVICE r2)
+    '<main><p>before <![CDATA[a > b]]> after, with enough words to pass the length bar</p></main>',
+    '<main><p><![if !IE]>cond<![endif]> plus plenty of ordinary text to clear the bar</p></main>',
+    '<main><p><![CDATA[unterminated cdata and then a lot of trailing text here',
 ]
 
 

@@ -201,3 +201,30 @@ def test_minhash_pairs_subset_of_exact_jaccard(ray_session):
     m = set(zip(lsh["doc_a"], lsh["doc_b"]))
     assert m <= e
     assert len(m) >= int(0.9 * len(e))
+
+
+def test_jaccard_block_pair_order_independent(ray_session):
+    """Cross-block exact-Jaccard must not depend on materialized block order
+    (preserve_order is off): a block holding LARGER doc_ids than its partner
+    still emits the pair, normalized to (lo, hi). ADVICE r2 (medium)."""
+    import pyarrow as pa
+    import ray
+
+    from pdfextraction_ray.queries import _jaccard_block_pair
+
+    text = "the quick brown fox jumps over the lazy dog " * 5
+    a = pa.table({"doc_id": pa.array([10, 11], pa.int64()),
+                  "text": [text, "zzz unrelated content entirely different"]})
+    b = pa.table({"doc_id": pa.array([1, 2], pa.int64()),
+                  "text": [text, "another unrelated thing altogether"]})
+    out = ray.get(_jaccard_block_pair.remote(a, b, False, 0.6))
+    pairs = list(zip(out["doc_a"].to_pylist(), out["doc_b"].to_pylist()))
+    assert (1, 10) in pairs
+    # symmetric block order finds the same normalized pairs
+    out2 = ray.get(_jaccard_block_pair.remote(b, a, False, 0.6))
+    pairs2 = list(zip(out2["doc_a"].to_pylist(), out2["doc_b"].to_pylist()))
+    assert pairs == pairs2
+    # same-block: each unordered pair exactly once
+    out3 = ray.get(_jaccard_block_pair.remote(a, a, True, 0.6))
+    assert len(out3) == 0 or len(set(
+        zip(out3["doc_a"].to_pylist(), out3["doc_b"].to_pylist()))) == len(out3)
