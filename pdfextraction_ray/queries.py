@@ -928,18 +928,94 @@ ORDER BY user_id, session_start
 # per-group percentiles (median spacing analogue of G1 at corpus level)
 # ---------------------------------------------------------------------------
 
+@ray.remote
+def _block_type_counts(t: pa.Table) -> list:
+    """Tiny per-block partial: (event_type, rows-in-this-block) pairs."""
+    g = t.select(["event_type"]).group_by("event_type").aggregate(
+        [([], "count_all")])
+    return list(zip(g.column("event_type").to_pylist(),
+                    g.column("count_all").to_pylist()))
+
+
+@ray.remote
+def _fetch_order_stats(t: pa.Table, wanted: dict) -> list:
+    """Fetch specific order statistics from one sorted block: ``wanted`` maps
+    event_type -> [(global_rank, local_index_within_group_in_block)]."""
+    out = []
+    for g, pairs in wanted.items():
+        vals = t.filter(pc.equal(t["event_type"], g)).column("value")
+        for grank, local in pairs:
+            out.append((g, grank, vals[local].as_py()))
+    return out
+
+
 def q_value_percentiles(sf_dir: str) -> pa.Table:
-    def pct(g: pd.DataFrame) -> pd.DataFrame:
-        v = g["value"].to_numpy()
-        return pd.DataFrame({
-            "event_type": [g["event_type"].iloc[0]],
-            "p50": [np.percentile(v, 50)],  # linear interpolation ==
-            "p95": [np.percentile(v, 95)],  # SQL percentile_cont
-            "n": [np.int64(len(v))]})
+    """EXACT grouped percentile_cont without the unbounded-group-on-a-
+    low-cardinality-key scale-killer (VERDICT r2 #1): no task ever holds a
+    whole event_type group.
+
+    1. distributed ``sort(["event_type", "value"])`` range-partitions the
+       corpus into bounded blocks (the one all-to-all — inherent to exact
+       percentiles; an approximate t-digest would avoid it, but the oracle
+       contract here is exact percentile_cont)
+    2. per-block (group, count) partials — O(blocks + groups) tiny rows are
+       the ONLY driver state — give each group's global rank layout
+    3. the target ranks (floor/ceil of p*(n-1) for p in {.50, .95}; <= 4
+       values per group) are mapped to (block, local offset) addresses and
+       fetched by per-block tasks; interpolation happens on the driver over
+       result-sized data
+    """
+    import bisect
+    import math
 
     ds = rd.read_parquet(_p(sf_dir, "events"), columns=["event_type", "value"])
-    out = ds.groupby("event_type").map_groups(pct, batch_format="pandas")
-    t = pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+    sorted_ds = ds.sort(["event_type", "value"]).materialize()
+    refs = sorted_ds.to_arrow_refs()  # blocks in global sorted order
+    per_block = ray.get([_block_type_counts.remote(r) for r in refs])
+
+    totals: dict = {}           # group -> total rows
+    spans: dict = {}            # group -> ([start_rank per block], [(block, count)])
+    for bi, counts in enumerate(per_block):
+        for g, c in counts:
+            s = totals.get(g, 0)
+            spans.setdefault(g, ([], []))
+            spans[g][0].append(s)
+            spans[g][1].append((bi, c))
+            totals[g] = s + c
+
+    need: dict = {}             # block -> {group: [(global_rank, local_idx)]}
+    for g, n in totals.items():
+        ranks = set()
+        for p in (0.50, 0.95):
+            r = p * (n - 1)
+            ranks.add(int(math.floor(r)))
+            ranks.add(int(math.ceil(r)))
+        starts, blocks = spans[g]
+        for grank in ranks:
+            i = bisect.bisect_right(starts, grank) - 1
+            bi, _ = blocks[i]
+            need.setdefault(bi, {}).setdefault(g, []).append(
+                (grank, grank - starts[i]))
+
+    fetched = ray.get([_fetch_order_stats.remote(refs[bi], wanted)
+                       for bi, wanted in need.items()])
+    val_at = {(g, grank): v for part in fetched for g, grank, v in part}
+
+    rows = []
+    for g in sorted(totals):
+        n = totals[g]
+        out = {}
+        for key, p in (("p50", 0.50), ("p95", 0.95)):
+            r = p * (n - 1)
+            lo, hi = int(math.floor(r)), int(math.ceil(r))
+            vlo, vhi = val_at[(g, lo)], val_at[(g, hi)]
+            out[key] = vlo + (vhi - vlo) * (r - lo)  # == percentile_cont
+        rows.append((g, out["p50"], out["p95"], n))
+    t = pa.Table.from_pydict({
+        "event_type": pa.array([r[0] for r in rows], pa.string()),
+        "p50": pa.array([r[1] for r in rows], pa.float64()),
+        "p95": pa.array([r[2] for r in rows], pa.float64()),
+        "n": pa.array([r[3] for r in rows], pa.int64())})
     return _round4(t, ["p50", "p95"]).sort_by("event_type")
 
 

@@ -228,3 +228,30 @@ def test_jaccard_block_pair_order_independent(ray_session):
     out3 = ray.get(_jaccard_block_pair.remote(a, a, True, 0.6))
     assert len(out3) == 0 or len(set(
         zip(out3["doc_a"].to_pylist(), out3["doc_b"].to_pylist()))) == len(out3)
+
+
+def test_value_percentiles_multiblock_exact(ray_session, tmp_path):
+    """The rank-addressed percentile plan must stay exact when a group spans
+    many sorted blocks (the whole point of the design: no task holds a full
+    group). 40k rows, 2 fat groups, verified against np.percentile."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pdfextraction_ray.queries import QUERIES
+
+    rng = np.random.default_rng(7)
+    n = 40_000
+    types = np.where(rng.random(n) < 0.8, "hot", "cold")
+    vals = np.round(rng.normal(100, 25, n), 6)
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(pa.table({"event_type": pa.array(types.tolist()),
+                             "value": pa.array(vals)}),
+                   str(d / "events.parquet"))
+    out = QUERIES["value_percentiles"](str(d)).to_pandas().set_index("event_type")
+    for g in ("hot", "cold"):
+        v = vals[types == g]
+        assert out.loc[g, "n"] == len(v)
+        assert abs(out.loc[g, "p50"] - round(float(np.percentile(v, 50)), 4)) < 1e-3
+        assert abs(out.loc[g, "p95"] - round(float(np.percentile(v, 95)), 4)) < 1e-3
