@@ -773,7 +773,30 @@ def _score_block_pair(a: pa.Table, b: pa.Table, same_block: bool,
         "vec_b": pa.array(hi[keep], pa.int64())})
 
 
-def q_embedding_near_dup_pairs(sf_dir: str, threshold: float = 0.4) -> pa.Table:
+EXACT_PAIRS_MAX_ROWS = 100_000
+"""Corpus-size gate for the exact O(n^2) pair queries: they exist as the
+exactness ORACLES the LSH paths are judged against (subset/recall asserted in
+tests), not as scale paths. Above the gate they refuse to launch the
+quadratic cross-product instead of silently melting the cluster; callers that
+truly want exactness on a bigger corpus pass ``max_rows=None`` explicitly."""
+
+
+def _gate_exact_pairs(n_rows: int, max_rows: Optional[int],
+                      query: str, scale_path: str) -> None:
+    if max_rows is not None and n_rows > max_rows:
+        raise ValueError(
+            f"{query}: corpus has {n_rows} rows > max_rows={max_rows}; the "
+            f"exact all-pairs path is O(n^2) and gated by design — use the "
+            f"{scale_path} scale path, or pass max_rows=None to force "
+            f"exactness anyway")
+
+
+def q_embedding_near_dup_pairs(sf_dir: str, threshold: float = 0.4,
+                               max_rows: Optional[int] = EXACT_PAIRS_MAX_ROWS,
+                               ) -> pa.Table:
+    _gate_exact_pairs(pq.read_metadata(_p(sf_dir, "embeddings")).num_rows,
+                      max_rows, "embedding_near_dup_pairs",
+                      "q_embedding_near_dup_lsh")
     ds = rd.read_parquet(_p(sf_dir, "embeddings"),
                          columns=["vec_id", "embedding"])
     pre = ds.map_batches(_normalize_block, batch_format="pyarrow",
@@ -1350,14 +1373,20 @@ def _jaccard_block_pair(a: pa.Table, b: pa.Table, same_block: bool,
         "jaccard": pa.array([r[2] for r in rows], pa.float64())})
 
 
-def q_ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.6) -> pa.Table:
+def q_ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.6,
+                          max_rows: Optional[int] = EXACT_PAIRS_MAX_ROWS,
+                          ) -> pa.Table:
     """EXACT character-n-gram Jaccard near-dup over ALL pairs — the oracle
     the approximate paths are judged against (q_minhash_near_dup_pairs is
     exactly this restricted to LSH candidates, asserted in tests). O(n^2)
     pair comparisons are inherent to exactness; blocks stay in the object
     store (`to_arrow_refs`) and K(K+1)/2 raw Ray tasks each score one block
     pair with per-side shingle caches — same shape as the exact embedding
-    path. MinHash+LSH is the declared scale path."""
+    path. MinHash+LSH is the declared scale path, and the ``max_rows`` gate
+    (default 100k) refuses the quadratic launch above it."""
+    _gate_exact_pairs(pq.read_metadata(_p(sf_dir, "documents")).num_rows,
+                      max_rows, "ngram_jaccard_pairs",
+                      "q_minhash_near_dup_pairs")
     ds = rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
     pre = ds.map_batches(lambda t: t, batch_format="pyarrow",
                          batch_size=512).materialize()

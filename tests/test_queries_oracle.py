@@ -255,3 +255,21 @@ def test_value_percentiles_multiblock_exact(ray_session, tmp_path):
         assert out.loc[g, "n"] == len(v)
         assert abs(out.loc[g, "p50"] - round(float(np.percentile(v, 50)), 4)) < 1e-3
         assert abs(out.loc[g, "p95"] - round(float(np.percentile(v, 95)), 4)) < 1e-3
+
+
+def test_exact_pair_queries_are_size_gated(ray_session):
+    """Above the max_rows gate the exact O(n^2) queries refuse to launch the
+    quadratic cross-product and point at their LSH scale paths; max_rows=None
+    forces exactness (VERDICT r2 #2)."""
+    import pytest
+
+    from pdfextraction_ray.queries import (q_embedding_near_dup_pairs,
+                                           q_ngram_jaccard_pairs)
+
+    with pytest.raises(ValueError, match="minhash"):
+        q_ngram_jaccard_pairs(SF, max_rows=10)
+    with pytest.raises(ValueError, match="lsh"):
+        q_embedding_near_dup_pairs(SF, max_rows=10)
+    # below the gate (and with an explicit override) the exact path runs
+    t = q_ngram_jaccard_pairs(SF, max_rows=None)
+    assert t.num_rows > 0
