@@ -27,16 +27,37 @@ def domain_of(url: str) -> str:
 
 
 def _stable_hash(s: str) -> int:
+    """Scalar stable hash (md5 prefix) — kept for callers hashing single
+    keys; the batch salting path below uses the vectorized siphash."""
     return int.from_bytes(hashlib.md5(s.encode()).digest()[:8], "little")
+
+
+def _vec_hash(arr: pa.ChunkedArray) -> "Any":
+    """Vectorized stable string hash: pandas' siphash-1-3 with its FIXED
+    default key — deterministic across runs and platforms, C-speed. Key
+    stability does not require md5; the salt only needs a fixed, documented
+    hash (the two-stage aggregate is invariant to the exact salt values)."""
+    import numpy as np
+    import pandas as pd
+    np_arr = arr.to_numpy(zero_copy_only=False)
+    return pd.util.hash_array(np_arr.astype(object)).astype(np.uint64)
 
 
 def add_domain_and_salt(batch: pa.Table, n_salts: int = 16,
                         url_col: str = "url") -> pa.Table:
-    urls = batch.column(url_col).to_pylist()
-    domains = [domain_of(u) for u in urls]
-    salts = [(_stable_hash(d) ^ (_stable_hash(u) % n_salts)) & 0x7FFFFFFF
-             for d, u in zip(domains, urls)]
-    batch = batch.append_column("domain", pa.array(domains, pa.string()))
+    """Fully vectorized (VERDICT r2 #3 — this map runs over EVERY row of the
+    biggest corpora): Arrow regex kernels for the domain (same semantics as
+    ``domain_of``: text after the first '://', up to the first '/'), numpy
+    siphash for the salt. No per-row Python."""
+    import numpy as np
+    urls = batch.column(url_col)
+    dom = pc.replace_substring_regex(urls, r"^.*?://", "", max_replacements=1)
+    dom = pc.replace_substring_regex(dom, r"(?s)/.*$", "", max_replacements=1)
+    d_h = _vec_hash(dom)
+    u_h = _vec_hash(urls)
+    salts = ((d_h ^ (u_h % np.uint64(max(1, n_salts))))
+             & np.uint64(0x7FFFFFFF)).astype(np.int64)
+    batch = batch.append_column("domain", dom)
     return batch.append_column("domain_salt", pa.array(salts, pa.int64()))
 
 

@@ -135,3 +135,37 @@ def test_image_decode_stage_decodes_real_png():
     small = ImageDecodeStage(allow_fake=False, resize_to=16)(t)
     m = small.column("image_meta").to_pylist()[0]
     assert max(m["width"], m["height"]) == 16
+
+
+def test_vectorized_domain_matches_scalar_and_histogram_stable(ray_session):
+    """The Arrow-kernel domain extraction must agree with the scalar
+    domain_of on every url shape, and the salted two-stage histogram output
+    is invariant to the salt-hash switch (VERDICT r2 #3 golden pin)."""
+    urls = ["https://a.example/x/y", "http://b.example", "no-scheme/path",
+            "a://b://c/d", "", "ftp://host:8080/deep/path?q=1",
+            "https://a.example/other", "https://a.example/x/y"]
+    t = pa.Table.from_pydict({"url": urls,
+                              "bytes_out": list(range(len(urls)))})
+    out = add_domain_and_salt(t, n_salts=4)
+    assert out.column("domain").to_pylist() == [domain_of(u) for u in urls]
+    # pinned histogram (computed with the pre-switch md5 implementation —
+    # byte-identical by salt-invariance of the domain-level aggregate)
+    hist = domain_histogram(rd.from_arrow(t)).to_pandas() \
+        .sort_values("domain").reset_index(drop=True)
+    assert hist.set_index("domain")["n_docs"].to_dict() == {
+        "": 1, "a.example": 3, "b.example": 1, "b:": 1,
+        "host:8080": 1, "no-scheme": 1}
+    assert int(hist.set_index("domain")["total_bytes"]["a.example"]) == 13
+
+
+def test_add_domain_and_salt_no_python_loop_hot_path():
+    """Salts are bounded (< 2^31), stable across calls, and hot domains
+    split into at most n_salts sub-keys."""
+    urls = [f"https://hot.example/p{i}" for i in range(1000)]
+    t = pa.Table.from_pydict({"url": urls})
+    a = add_domain_and_salt(t, n_salts=8)
+    b = add_domain_and_salt(t, n_salts=8)
+    salts = a.column("domain_salt").to_pylist()
+    assert salts == b.column("domain_salt").to_pylist()
+    assert len(set(salts)) <= 8 and len(set(salts)) >= 2
+    assert all(0 <= s < 2**31 for s in salts)
