@@ -255,13 +255,17 @@ def q_merge_longest_wins(sf_dir: str) -> pa.Table:
                    .drop_columns(["text"]),
         batch_format="pyarrow")
 
-    def pick(g: pd.DataFrame) -> pd.DataFrame:
-        max_len = g["len"].max()
-        best = g[g["len"] == max_len]["doc_id"].min()
-        return pd.DataFrame({"lang": [g["lang"].iloc[0]], "source": [g["source"].iloc[0]],
-                             "max_len": [max_len], "best_doc_id": [best]})
+    def pick(g: pa.Table) -> pa.Table:
+        max_len = pc.max(g.column("len"))
+        best = pc.min(g.filter(pc.equal(g.column("len"), max_len))
+                       .column("doc_id"))
+        return pa.Table.from_pydict({
+            "lang": g.column("lang").slice(0, 1),
+            "source": g.column("source").slice(0, 1),
+            "max_len": pa.array([max_len.as_py()], pa.int64()),
+            "best_doc_id": pa.array([best.as_py()], pa.int64())})
 
-    out = ds.groupby(["lang", "source"]).map_groups(pick, batch_format="pandas")
+    out = ds.groupby(["lang", "source"]).map_groups(pick, batch_format="pyarrow")
     return pa.Table.from_pandas(out.to_pandas(), preserve_index=False) \
         .sort_by([("lang", "ascending"), ("source", "ascending")])
 
@@ -1065,6 +1069,23 @@ FROM events GROUP BY event_type ORDER BY event_type
 # grouped top-k per key (ROW_NUMBER window analogue): per-user best event
 # ---------------------------------------------------------------------------
 
+def _top1_partial(t: pa.Table) -> pa.Table:
+    """Per-batch combiner (the _q1_partial pattern, VERDICT r2 #5): keep only
+    each user's best row within the batch, so the wide groupby shuffles
+    ~|users| rows per batch instead of every event."""
+    if t.num_rows == 0:
+        return t
+    idx = pc.sort_indices(t, sort_keys=[("user_id", "ascending"),
+                                        ("value", "descending"),
+                                        ("event_id", "ascending")])
+    s = t.take(idx)
+    u = s.column("user_id").to_numpy(zero_copy_only=False)
+    mask = np.empty(len(u), dtype=bool)
+    mask[0] = True
+    mask[1:] = u[1:] != u[:-1]
+    return s.filter(pa.array(mask))
+
+
 def q_top_event_per_user(sf_dir: str) -> pa.Table:
     def top1(g: pa.Table) -> pa.Table:
         idx = pc.sort_indices(g, sort_keys=[("value", "descending"),
@@ -1073,7 +1094,9 @@ def q_top_event_per_user(sf_dir: str) -> pa.Table:
 
     ds = rd.read_parquet(_p(sf_dir, "events"),
                          columns=["user_id", "event_id", "value"])
-    out = ds.groupby("user_id").map_groups(top1, batch_format="pyarrow")
+    partial = ds.map_batches(_top1_partial, batch_format="pyarrow",
+                             batch_size=65536)
+    out = partial.groupby("user_id").map_groups(top1, batch_format="pyarrow")
     return pa.Table.from_pandas(out.to_pandas(), preserve_index=False) \
         .sort_by("user_id")
 
@@ -1565,6 +1588,32 @@ def _golden_sql(name: str, sf: str = "sf0.01") -> str:
     return f"SELECT * FROM read_parquet('{_GOLDEN_DIR}/{name}_{sf}.parquet')"
 
 
+def _golden_guard(name: str, fn: Callable) -> Callable:
+    """Pair-correctness guard for golden-backed oracles (VERDICT r2 #6): the
+    ORACLES SQL is pinned to the sf0.01 golden, so if the driver ever runs
+    the gate at a DIFFERENT scale the query itself fails loudly (recorded as
+    err) instead of silently hash-comparing against the wrong golden. The
+    local pytest harness rewrites the oracle suffix per scale; goldens exist
+    for every scale it runs."""
+    import functools
+
+    @functools.wraps(fn)
+    def wrapped(sf_dir: str, *args, **kwargs):
+        sf = os.path.basename(os.path.normpath(sf_dir))
+        golden = os.path.join(_GOLDEN_DIR, f"{name}_{sf}.parquet")
+        import re
+        if re.match(r"^sf\d", sf) and not os.path.exists(golden):
+            raise RuntimeError(
+                f"{name}: pinned-golden oracle exists only for "
+                f"{sorted(f.split('_')[-1].removesuffix('.parquet') for f in os.listdir(_GOLDEN_DIR) if f.startswith(name))}, "
+                f"not {sf!r} — regenerate with tools/make_query_goldens.py "
+                f"before comparing at this scale (guards a silent wrong-"
+                f"golden hash compare)")
+        return fn(sf_dir, *args, **kwargs)
+
+    return wrapped
+
+
 ORACLES: dict[str, str] = {
     "pricing_summary": SQL_PRICING,
     "top_recent_events": SQL_TOP_RECENT,
@@ -1595,3 +1644,7 @@ ORACLES: dict[str, str] = {
     "brand_revenue_bucketed": SQL_BRAND_REVENUE_BUCKETED,
     **{name: _golden_sql(name) for name in GOLDEN_ORACLE_QUERIES},
 }
+
+for _name in GOLDEN_ORACLE_QUERIES:
+    QUERIES[_name] = _golden_guard(_name, QUERIES[_name])
+del _name

@@ -273,3 +273,16 @@ def test_exact_pair_queries_are_size_gated(ray_session):
     # below the gate (and with an explicit override) the exact path runs
     t = q_ngram_jaccard_pairs(SF, max_rows=None)
     assert t.num_rows > 0
+
+
+def test_golden_guard_rejects_unpinned_scale(ray_session, tmp_path):
+    """Golden-backed queries fail LOUDLY when run at a scale with no pinned
+    golden, instead of silently hash-comparing against the wrong one."""
+    import pytest
+
+    from pdfextraction_ray.queries import QUERIES
+
+    d = tmp_path / "sf9.9"
+    d.mkdir()
+    with pytest.raises(RuntimeError, match="make_query_goldens"):
+        QUERIES["language_id"](str(d))
