@@ -356,10 +356,13 @@ def write_corpus(out_dir: str, n_rows: int, seed: int = 42, n_shards: int = 8) -
 
 
 def build_media_table(n_rows: int, seed: int = 42) -> "pa.Table":
-    """Deterministic multimodal corpus: one PNG image and one WAV clip per
-    row (REAL encoded bytes via functions/codecs.py — the media analogue of
-    build_corpus_table; no external data, reproducible bit-for-bit)."""
+    """Deterministic multimodal corpus: one image (PNG, or baseline JPEG for
+    every third row — 4:2:0 subsampled for every sixth) and one WAV clip per
+    row (REAL encoded bytes via functions/codecs.py and functions/jpeg.py —
+    the media analogue of build_corpus_table; no external data, reproducible
+    bit-for-bit)."""
     from .functions.codecs import png_encode, wav_encode
+    from .functions.jpeg import jpeg_encode
 
     ids, images, audios = [], [], []
     for i in range(n_rows):
@@ -372,7 +375,11 @@ def build_media_table(n_rows: int, seed: int = 42) -> "pa.Table":
         t = np.arange(n) / 8000.0
         pcm = 0.4 * np.sin(2 * np.pi * freq * t)
         ids.append(i)
-        images.append(png_encode(img))
+        if i % 3 == 2:
+            sub = "420" if i % 6 == 2 else "444"
+            images.append(jpeg_encode(img, quality=90, subsampling=sub))
+        else:
+            images.append(png_encode(img))
         audios.append(wav_encode(pcm, 8000))
     return pa.Table.from_pydict({
         "media_id": pa.array(ids, pa.int64()),

@@ -7,8 +7,9 @@ stages have REAL decode kernels in environments without PIL/soundfile.
 - WAV: integer PCM (8/16/32-bit) via the stdlib ``wave`` module, mixed to
   mono float32 in [-1, 1].
 
-These cover the dominant lossless web formats; JPEG/MP3/video remain
-library-gated (see stages/multimodal.py).
+These cover the dominant lossless web formats; baseline JPEG decodes via the
+sibling ``functions/jpeg.py`` (numpy DCT + table-driven Huffman); MP3/video
+remain library-gated (see stages/multimodal.py).
 """
 
 from __future__ import annotations

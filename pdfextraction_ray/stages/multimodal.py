@@ -3,8 +3,9 @@ processed by actor-pool ``map_batches`` stages.
 
 Decode kernels, in priority order per payload:
 - **PNG** and **WAV** decode NATIVELY via ``functions/codecs.py`` (stdlib
-  zlib/struct/wave + numpy — no third-party codec needed); round-trip
-  correctness is pinned in tests/test_codecs.py.
+  zlib/struct/wave + numpy) and **baseline JPEG** via ``functions/jpeg.py``
+  (numpy DCT + table-driven Huffman — no third-party codec needed);
+  round-trip correctness is pinned in tests/test_codecs.py.
 - other image/audio formats go through PIL / soundfile when installed
   (absent in this sandbox — gated behind try-imports);
 - otherwise ``allow_fake=True`` substitutes a deterministic fake (seeded by
@@ -23,6 +24,7 @@ import numpy as np
 import pyarrow as pa
 
 from ..functions import codecs
+from ..functions import jpeg
 
 try:  # pragma: no cover - not installed here
     from PIL import Image  # type: ignore
@@ -48,9 +50,10 @@ def _fake_decode(payload: bytes, max_side: int = 64) -> np.ndarray:
 class ImageDecodeStage:
     """Actor stage: binary image column -> metadata + mean-channel features.
 
-    PNG payloads decode natively (stdlib codec); other formats need PIL;
-    ``allow_fake=True`` substitutes the deterministic fake for them, else the
-    row fails captured (decode_ok=False) and the batch survives.
+    PNG and baseline JPEG payloads decode natively (functions/codecs.py,
+    functions/jpeg.py); other formats need PIL; ``allow_fake=True``
+    substitutes the deterministic fake for them, else the row fails
+    captured (decode_ok=False) and the batch survives.
     ``resize_to`` bounds the longest side (nearest-neighbor downsample) —
     features are computed on the resized pixels.
     """
@@ -67,6 +70,13 @@ class ImageDecodeStage:
             if self.resize_to:
                 arr = codecs.downsample_nearest(arr, self.resize_to)
             return arr, "png"
+        if jpeg.is_jpeg(payload):
+            arr = jpeg.jpeg_decode(payload)  # baseline sequential (native)
+            if arr.ndim == 2:
+                arr = np.stack([arr] * 3, axis=-1)
+            if self.resize_to:
+                arr = codecs.downsample_nearest(arr, self.resize_to)
+            return arr, "jpeg"
         if _HAVE_PIL:  # pragma: no cover - library absent in this env
             import io
             img = Image.open(io.BytesIO(payload)).convert("RGB")
@@ -76,7 +86,8 @@ class ImageDecodeStage:
         if self.allow_fake:
             return _fake_decode(payload), "fake-rgb8"
         raise ValueError(
-            "payload is not PNG and no other image codec is installed; pass "
+            "payload is not PNG/JPEG and no other image codec is installed; "
+            "pass "
             "allow_fake=True for the deterministic stand-in")
 
     def __call__(self, batch: pa.Table) -> pa.Table:

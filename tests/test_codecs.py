@@ -142,3 +142,100 @@ def test_downsample_nearest():
     out = C.downsample_nearest(img, 16)
     assert out.shape == (16, 12, 3)
     assert np.array_equal(C.downsample_nearest(img, 100), img)  # no upscale
+
+
+# ---------------------------------------------------------------------------
+# baseline JPEG codec (functions/jpeg.py)
+# ---------------------------------------------------------------------------
+
+def _gradient(h, w):
+    import numpy as np
+    x = np.linspace(0, 255, w)[None, :].repeat(h, 0)
+    y = np.linspace(0, 255, h)[:, None].repeat(w, 1)
+    return np.stack([x, y, (x + y) / 2], axis=-1).astype(np.uint8)
+
+
+def test_jpeg_roundtrip_444_close():
+    import numpy as np
+
+    from pdfextraction_ray.functions import jpeg as J
+    img = _gradient(48, 64)
+    enc = J.jpeg_encode(img, quality=90)
+    assert J.is_jpeg(enc)
+    dec = J.jpeg_decode(enc)
+    assert dec.shape == img.shape and dec.dtype == np.uint8
+    assert np.abs(dec.astype(int) - img.astype(int)).max() <= 8
+
+
+def test_jpeg_roundtrip_420_subsampled():
+    import numpy as np
+
+    from pdfextraction_ray.functions import jpeg as J
+    img = _gradient(50, 70)  # non-multiples of 16: pad + crop path
+    dec = J.jpeg_decode(J.jpeg_encode(img, quality=90, subsampling="420"))
+    assert dec.shape == img.shape
+    assert np.abs(dec.astype(int) - img.astype(int)).max() <= 16
+
+
+def test_jpeg_grayscale_and_determinism():
+    import numpy as np
+
+    from pdfextraction_ray.functions import jpeg as J
+    g = _gradient(40, 40)[..., 0]
+    enc = J.jpeg_encode(g, quality=85)
+    assert enc == J.jpeg_encode(g, quality=85)
+    dec = J.jpeg_decode(enc)
+    assert dec.ndim == 2 and np.abs(dec.astype(int) - g.astype(int)).max() <= 6
+
+
+def test_jpeg_noise_nonmultiple_dims_roundtrips():
+    import numpy as np
+
+    from pdfextraction_ray.functions import jpeg as J
+    rng = np.random.default_rng(5)
+    img = rng.integers(0, 256, (33, 41, 3)).astype(np.uint8)
+    dec = J.jpeg_decode(J.jpeg_encode(img, quality=95))
+    assert dec.shape == img.shape  # noise: only shape/decode-success pinned
+
+
+def test_jpeg_rejects_progressive():
+    import pytest
+
+    from pdfextraction_ray.functions import jpeg as J
+    # minimal stream: SOI + SOF2 header
+    fake = b"\xff\xd8\xff\xc2\x00\x0b\x08\x00\x10\x00\x10\x01\x01\x11\x00"
+    with pytest.raises(ValueError, match="progressive"):
+        J.jpeg_decode(fake)
+
+
+def test_jpeg_decodes_real_world_baseline_file():
+    """Decoder is table-driven from the stream: a third-party baseline JPEG
+    (standard Annex-K Huffman tables + restart markers) must decode."""
+    import os
+
+    import pytest
+
+    from pdfextraction_ray.functions import jpeg as J
+    path = ("/root/.rustup/toolchains/stable-x86_64-unknown-linux-gnu/share/"
+            "doc/rust/html/embedded-book/assets/verify.jpeg")
+    if not os.path.exists(path):
+        pytest.skip("no third-party JPEG available in this environment")
+    arr = J.jpeg_decode(open(path, "rb").read())
+    assert arr.shape == (477, 720, 3)
+    assert 20 < arr.mean() < 240  # plausible photo content, not garbage
+
+
+def test_image_stage_decodes_jpeg_natively():
+    import numpy as np
+    import pyarrow as pa
+
+    from pdfextraction_ray.functions import jpeg as J
+    from pdfextraction_ray.stages.multimodal import ImageDecodeStage
+    img = _gradient(24, 24)
+    t = pa.Table.from_pydict({"url": ["u"], "image": [J.jpeg_encode(img)]})
+    out = ImageDecodeStage(allow_fake=False)(t)
+    assert out.column("decode_ok").to_pylist() == [True]
+    meta = out.column("image_meta").to_pylist()[0]
+    assert (meta["format"], meta["width"], meta["height"]) == ("jpeg", 24, 24)
+    feats = np.array(out.column("image_features").to_pylist()[0])
+    assert np.abs(feats - img.reshape(-1, 3).mean(0)).max() < 4.0
