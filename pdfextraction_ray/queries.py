@@ -489,25 +489,27 @@ ORDER BY c_acctbal DESC, c_custkey ASC LIMIT 10
 """
 
 
-def q_segment_revenue(sf_dir: str) -> pa.Table:
-    """Three-table rollup, large x large done right: the SMALL side
-    (customer's custkey->mktsegment) broadcasts into a streaming read of
-    orders; the large x large lineitem <-> orders edge is a distributed
-    ``Dataset.join`` on the order key (hash shuffle both sides — nothing
-    order-sized ever touches the driver). Lineitem is pre-projected to
-    (key, revenue) so only two narrow columns shuffle."""
-    cust = pq.read_table(_p(sf_dir, "customer"), columns=["c_custkey", "c_mktsegment"])
-    cust_ref = ray.put(dict(zip(cust.column("c_custkey").to_pylist(),
-                                cust.column("c_mktsegment").to_pylist())))
+MIDSIZE_JOIN_MAX_ROWS = 5_000_000
+"""Upper bound of the bucketed map-side join regime (functions/joins.py): a
+build side up to this many NARROW rows is hash-bucketed into the object store
+and the probe side streams against it — no shuffle of either side and none of
+the JoinOperator's per-join fixed cost (~4-6 s measured, NOTES_ROUND2).
+Above it, fall back to the distributed ``Dataset.join``."""
 
-    # task form of the lookup: an actor pool would RESERVE CPUs inside the
-    # same plan as the JoinOperator (see the runner's deadlock note)
-    orders_seg = rd.read_parquet(_p(sf_dir, "orders"),
-                                 columns=["o_orderkey", "o_custkey"]) \
-        .map_batches(lambda t: _broadcast_lookup_task(t, cust_ref,
-                                                      "o_custkey", "c_mktsegment"),
-                     batch_format="pyarrow") \
-        .select_columns(["o_orderkey", "c_mktsegment"])
+
+def q_segment_revenue(sf_dir: str) -> pa.Table:
+    """Three-table rollup with a SIZE-CHOSEN join strategy for the
+    lineitem <-> orders edge (the three regimes of functions/joins.py):
+
+    - orders-side rows <= MIDSIZE_JOIN_MAX_ROWS: bucketed map-side join —
+      the narrow (o_orderkey, c_mktsegment) build table (segment resolved
+      via vectorized take against the small customer side) is bucketed into
+      the object store and lineitem streams against it, pre-projected to
+      (key, revenue). No all-to-all, no JoinOperator fixed cost.
+    - bigger: broadcast customer into a streaming read of orders, then a
+      distributed ``Dataset.join`` (hash shuffle both sides, num_partitions
+      derived from input size — nothing order-sized touches the driver)."""
+    cust = pq.read_table(_p(sf_dir, "customer"), columns=["c_custkey", "c_mktsegment"])
 
     line = rd.read_parquet(_p(sf_dir, "lineitem"),
                            columns=["l_orderkey", "l_extendedprice", "l_discount"]) \
@@ -518,11 +520,35 @@ def q_segment_revenue(sf_dir: str) -> pa.Table:
                                        pc.subtract(pa.scalar(1.0), t["l_discount"]))}),
             batch_format="pyarrow")
 
-    joined = line.join(
-        orders_seg, join_type="inner",
-        num_partitions=_join_num_partitions(_p(sf_dir, "lineitem"),
-                                            _p(sf_dir, "orders")),
-        on=("l_orderkey",), right_on=("o_orderkey",))
+    n_orders = pq.read_metadata(_p(sf_dir, "orders")).num_rows
+    if n_orders <= MIDSIZE_JOIN_MAX_ROWS:
+        from .functions.joins import bucketed_join
+        orders = pq.read_table(_p(sf_dir, "orders"),
+                               columns=["o_orderkey", "o_custkey"])
+        idx = pc.index_in(orders.column("o_custkey"),
+                          value_set=cust.column("c_custkey"))
+        build = pa.Table.from_pydict({
+            "o_orderkey": orders.column("o_orderkey"),
+            "c_mktsegment": pc.take(cust.column("c_mktsegment"), idx)})
+        joined = bucketed_join(line, build, probe_key="l_orderkey",
+                               build_key="o_orderkey", join_type="inner",
+                               n_buckets=max(8, -(-n_orders // 500_000)))
+    else:
+        cust_ref = ray.put(dict(zip(cust.column("c_custkey").to_pylist(),
+                                    cust.column("c_mktsegment").to_pylist())))
+        # task form of the lookup: an actor pool would RESERVE CPUs inside
+        # the same plan as the JoinOperator (see the runner's deadlock note)
+        orders_seg = rd.read_parquet(_p(sf_dir, "orders"),
+                                     columns=["o_orderkey", "o_custkey"]) \
+            .map_batches(lambda t: _broadcast_lookup_task(
+                t, cust_ref, "o_custkey", "c_mktsegment"),
+                batch_format="pyarrow") \
+            .select_columns(["o_orderkey", "c_mktsegment"])
+        joined = line.join(
+            orders_seg, join_type="inner",
+            num_partitions=_join_num_partitions(_p(sf_dir, "lineitem"),
+                                                _p(sf_dir, "orders")),
+            on=("l_orderkey",), right_on=("o_orderkey",))
     agg = joined.groupby("c_mktsegment").aggregate(
         Count(alias_name="n_items"), Sum("revenue", alias_name="revenue"))
     t = pa.Table.from_pandas(agg.to_pandas(), preserve_index=False)
