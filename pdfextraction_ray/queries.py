@@ -1673,4 +1673,15 @@ ORACLES: dict[str, str] = {
 
 for _name in GOLDEN_ORACLE_QUERIES:
     QUERIES[_name] = _golden_guard(_name, QUERIES[_name])
+
+# round-3 extension registry (curation / event-analytics operators)
+from .queries_ext import (EXT_GOLDEN_QUERIES, EXT_ORACLES,  # noqa: E402
+                          EXT_QUERIES)
+
+QUERIES.update(EXT_QUERIES)
+ORACLES.update(EXT_ORACLES)
+GOLDEN_ORACLE_QUERIES = GOLDEN_ORACLE_QUERIES + tuple(EXT_GOLDEN_QUERIES)
+for _name in EXT_GOLDEN_QUERIES:
+    ORACLES[_name] = _golden_sql(_name)
+    QUERIES[_name] = _golden_guard(_name, QUERIES[_name])
 del _name

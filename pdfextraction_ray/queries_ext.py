@@ -1,0 +1,397 @@
+"""Round-3 registry extension: the training-data-curation and event-analytics
+operators a 100-TB pipeline needs beyond the reference surface (SURVEY §2
+completes the reference; these are the engine's own first-class additions).
+
+Same conventions as ``queries.py`` (column names shared with the oracle,
+float outputs rounded+narrowed, every pipeline streams — the only driver
+materializations are broadcast small sides and final results). This module
+must NOT import ``queries`` at top level (queries.py imports it to merge the
+registries); cross-references are lazy imports inside the function bodies.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+from typing import Any, Callable
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+import ray
+import ray.data as rd
+from ray.data.aggregate import Sum
+
+
+def _p(sf_dir: str, table: str) -> str:
+    return os.path.join(sf_dir, f"{table}.parquet")
+
+
+def _ts_i64(col: pa.ChunkedArray) -> np.ndarray:
+    return col.to_numpy(zero_copy_only=False).astype("datetime64[us]").view(np.int64)
+
+
+# ---------------------------------------------------------------------------
+# as-of join: for every 'purchase' event, the most recent prior-or-equal
+# 'click' value of the SAME user. Ray Data has no AsofJoinOperator; the
+# semantics decompose as co-partition-by-key (groupby) + in-group vectorized
+# searchsorted — the documented partitioning assumption is that one user's
+# events fit a worker (bounded per-entity activity, same as user_sessions).
+# Ties: equal timestamps match (>=); among equal click timestamps the
+# latest-sorted wins (none exist in the testdata — asserted by the oracle,
+# whose ASOF JOIN would otherwise be free to pick either).
+# ---------------------------------------------------------------------------
+
+def q_asof_join(sf_dir: str) -> pa.Table:
+    types = pa.array(["purchase", "click"])
+    ds = rd.read_parquet(
+        _p(sf_dir, "events"),
+        columns=["event_id", "ts", "user_id", "event_type", "value"]) \
+        .map_batches(lambda t: t.filter(pc.is_in(t["event_type"],
+                                                 value_set=types)),
+                     batch_format="pyarrow")
+
+    def asof(g: pa.Table) -> pa.Table:
+        et = g.column("event_type").to_numpy(zero_copy_only=False)
+        ts = _ts_i64(g.column("ts"))
+        val = g.column("value").to_numpy(zero_copy_only=False)
+        eid = g.column("event_id").to_numpy(zero_copy_only=False)
+        uid = g.column("user_id").to_numpy(zero_copy_only=False)
+        is_p = et == "purchase"
+        c_ts, c_val = ts[~is_p], val[~is_p]
+        order = np.argsort(c_ts, kind="stable")
+        c_ts, c_val = c_ts[order], c_val[order]
+        idx = np.searchsorted(c_ts, ts[is_p], side="right") - 1
+        # -1.0 sentinel instead of NULL: NaN breaks both the local isclose
+        # check and the driver value-hash; the oracle mirrors with coalesce
+        last = np.where(idx >= 0, c_val[np.clip(idx, 0, None)], -1.0)
+        return pa.Table.from_pydict({
+            "event_id": pa.array(eid[is_p], pa.int64()),
+            "user_id": pa.array(uid[is_p], pa.int64()),
+            "purchase_value": pa.array(val[is_p], pa.float64()),
+            "last_click_value": pa.array(last, pa.float64())})
+
+    out = ds.groupby("user_id").map_groups(asof, batch_format="pyarrow")
+    t = pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+    return t.sort_by([("event_id", "ascending")])
+
+
+SQL_ASOF_JOIN = """
+SELECT p.event_id, p.user_id, p.value AS purchase_value,
+       coalesce(c.value, -1.0) AS last_click_value
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON p.user_id = c.user_id AND p.ts >= c.ts
+ORDER BY p.event_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# per-user window features: lag deltas + running sum, the window-function
+# family (LAG / cumulative SUM OVER) expressed as co-partition + in-group
+# vectorized numpy. Output is one row per user (bounded), so the wide stage
+# moves event rows once and the result is |users|-sized.
+# ---------------------------------------------------------------------------
+
+def q_user_activity_features(sf_dir: str) -> pa.Table:
+    ds = rd.read_parquet(_p(sf_dir, "events"),
+                         columns=["user_id", "ts", "event_id", "value"])
+
+    def feats(g: pa.Table) -> pa.Table:
+        ts = _ts_i64(g.column("ts"))
+        eid = g.column("event_id").to_numpy(zero_copy_only=False)
+        val = g.column("value").to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts))  # ORDER BY ts, event_id
+        v = val[order]
+        d = np.diff(v)
+        rs_max = pa.array([float(np.cumsum(v).max()) if len(v) else 0.0],
+                          pa.float64())
+        rs_max = pc.round(rs_max, ndigits=6,
+                          round_mode="half_towards_infinity").cast(pa.float32())
+        return pa.Table.from_pydict({
+            "user_id": pa.array([int(g.column("user_id")[0].as_py())], pa.int64()),
+            "n_events": pa.array([len(v)], pa.int64()),
+            "n_pos_delta": pa.array([int((d > 0).sum())], pa.int64()),
+            "max_runsum": rs_max})
+
+    out = ds.groupby("user_id").map_groups(feats, batch_format="pyarrow")
+    t = pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+    return t.sort_by([("user_id", "ascending")])
+
+
+SQL_USER_ACTIVITY = """
+WITH w AS (
+  SELECT user_id, value,
+         value - lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS d,
+         sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) AS rs
+  FROM events)
+SELECT user_id, count(*) AS n_events,
+       count(*) FILTER (WHERE d > 0) AS n_pos_delta,
+       CAST(ROUND(max(rs), 6) AS REAL) AS max_runsum
+FROM w GROUP BY user_id ORDER BY user_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# corpus term frequencies (top-k tokens): the canonical combiner-before-
+# shuffle aggregation — each batch collapses to its own (token, n) partial
+# (vocabulary-sized, not token-stream-sized) before the global groupby, so
+# the wide stage moves ~|vocab| rows per batch. Tokenization contract is
+# split-on-single-space (== DuckDB string_split), empties dropped.
+# ---------------------------------------------------------------------------
+
+def _tf_partial(t: pa.Table) -> pa.Table:
+    toks = pc.list_flatten(pc.split_pattern(t["text"], " "))
+    toks = toks.filter(pc.not_equal(toks, ""))
+    g = pa.table({"token": toks}).group_by("token").aggregate([("token", "count")])
+    g = g.select(["token", "token_count"])  # name-addressed: pyarrow key/agg
+    return g.rename_columns(["token", "n"])  # column order differs by release
+
+
+def q_term_frequencies(sf_dir: str, k: int = 50) -> pa.Table:
+    ds = rd.read_parquet(_p(sf_dir, "documents"), columns=["text"])
+    partial = ds.map_batches(_tf_partial, batch_format="pyarrow")
+    agg = partial.groupby("token").aggregate(Sum("n", alias_name="n"))
+    top = agg.sort(["n", "token"], descending=[True, False]).limit(k)
+    return pa.Table.from_pandas(top.to_pandas(), preserve_index=False)
+
+
+SQL_TERM_FREQUENCIES = """
+SELECT tok AS token, count(*) AS n FROM (
+  SELECT unnest(string_split(text, ' ')) AS tok FROM documents) s
+WHERE tok <> '' GROUP BY tok ORDER BY n DESC, token ASC LIMIT 50
+"""
+
+
+# ---------------------------------------------------------------------------
+# deterministic stratified sampling: downsample the dominant language to
+# 1/16 and keep 4/16 of everything else, keyed on md5(doc_id) so the sample
+# is stable across runs/machines and reproducible by any engine (the reason
+# for md5-per-row here rather than a vectorized numpy hash: the oracle must
+# compute the SAME membership in SQL; functions/joins._bucket_of is the
+# vectorized alternative when oracle parity is not required).
+# ---------------------------------------------------------------------------
+
+def q_stratified_sample(sf_dir: str) -> pa.Table:
+    ds = rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "lang"])
+
+    def sample(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_pylist()
+        digits = np.fromiter(
+            (int(hashlib.md5(str(i).encode()).hexdigest()[0], 16) for i in ids),
+            dtype=np.int64, count=len(ids))
+        is_en = pc.equal(t["lang"], "en").to_numpy(zero_copy_only=False)
+        keep = np.where(is_en, digits < 1, digits < 4)
+        return t.filter(pa.array(keep))
+
+    out = ds.map_batches(sample, batch_format="pyarrow")
+    t = pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+    return t.sort_by([("doc_id", "ascending")])
+
+
+SQL_STRATIFIED_SAMPLE = """
+SELECT doc_id, lang FROM documents
+WHERE (lang = 'en' AND substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) = '0')
+   OR (lang <> 'en' AND substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+       IN ('0', '1', '2', '3'))
+ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# benchmark decontamination: flag documents sharing any word-5-gram with a
+# held-out benchmark set (doc_id % 10 == 0 stands in for the benchmark).
+# Two streaming passes: (1) benchmark grams -> distinct -> broadcast set,
+# (2) every other doc membership-checked per batch. The broadcast side is
+# benchmark-sized, not corpus-sized; at 100 TB the gram STRINGS become
+# 64-bit hashes bucketed via functions/joins.BucketedBuildSide (strings kept
+# here because the SQL oracle compares exact grams).
+# ---------------------------------------------------------------------------
+
+DECONTAM_BENCH_MOD = 10
+DECONTAM_K = 5
+
+
+def _doc_grams(text: str, k: int = DECONTAM_K) -> set:
+    toks = text.split(" ")
+    if len(toks) < k:
+        return set()
+    return {" ".join(toks[i:i + k]) for i in range(len(toks) - k + 1)}
+
+
+def q_decontaminate(sf_dir: str) -> pa.Table:
+    docs = _p(sf_dir, "documents")
+
+    def bench_grams(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        keep = pa.array(ids % DECONTAM_BENCH_MOD == 0)  # no pc.mod kernel
+        grams: set = set()
+        for text in t.filter(keep).column("text").to_pylist():
+            grams |= _doc_grams(text)
+        return pa.table({"gram": pa.array(sorted(grams), pa.string())})
+
+    bench = rd.read_parquet(docs, columns=["doc_id", "text"]) \
+        .map_batches(bench_grams, batch_format="pyarrow")
+    bench_ref = ray.put(frozenset(bench.unique("gram")))
+
+    def hits(t: pa.Table) -> pa.Table:
+        bset = ray.get(bench_ref)
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        t = t.filter(pa.array(ids % DECONTAM_BENCH_MOD != 0))
+        ids, counts = [], []
+        for did, text in zip(t.column("doc_id").to_pylist(),
+                             t.column("text").to_pylist()):
+            n = len(_doc_grams(text) & bset)
+            if n:
+                ids.append(did)
+                counts.append(n)
+        return pa.Table.from_pydict({"doc_id": pa.array(ids, pa.int64()),
+                                     "n_hits": pa.array(counts, pa.int64())})
+
+    out = rd.read_parquet(docs, columns=["doc_id", "text"]) \
+        .map_batches(hits, batch_format="pyarrow")
+    t = pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+    return t.sort_by([("doc_id", "ascending")])
+
+
+SQL_DECONTAMINATE = """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+grams AS (
+  SELECT doc_id, array_to_string(t[g:g+4], ' ') AS gram
+  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t)-4)) AS g
+        FROM toks WHERE len(t) >= 5)
+),
+bench AS (SELECT DISTINCT gram FROM grams WHERE doc_id % 10 = 0)
+SELECT g.doc_id, count(DISTINCT g.gram) AS n_hits
+FROM grams g JOIN bench b USING (gram)
+WHERE g.doc_id % 10 <> 0 GROUP BY g.doc_id ORDER BY g.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# near-dup clustering: connected components over the verified minhash pair
+# set, canonical member = min doc_id. The pair list is result-sized (LSH
+# collisions only, already exact-Jaccard-verified), so driver union-find is
+# the honest scale answer up to ~10^8 pairs; beyond that the same semantics
+# run as iterative min-label propagation (groupby-join rounds). Pinned-golden
+# oracle; transitive-closure consistency vs the pair set is pytest-asserted.
+# ---------------------------------------------------------------------------
+
+def q_near_dup_clusters(sf_dir: str) -> pa.Table:
+    from .queries import q_minhash_near_dup_pairs  # lazy: avoids import cycle
+    pairs = q_minhash_near_dup_pairs(sf_dir)
+
+    parent: dict = {}
+
+    def find(x: int) -> int:
+        root = x
+        while parent.get(root, root) != root:
+            root = parent[root]
+        while parent.get(x, x) != x:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for a, b in zip(pairs.column("doc_a").to_pylist(),
+                    pairs.column("doc_b").to_pylist()):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    members = sorted({d for d in parent} |
+                     {d for d in pairs.column("doc_a").to_pylist()} |
+                     {d for d in pairs.column("doc_b").to_pylist()})
+    return pa.Table.from_pydict({
+        "doc_id": pa.array(members, pa.int64()),
+        "canonical_id": pa.array([find(d) for d in members], pa.int64())})
+
+
+# ---------------------------------------------------------------------------
+# IVF ANN: the coarse-quantizer scale path for embedding search. Spherical
+# k-means centroids fitted once on a deterministic driver-side sample (first
+# row group, strided to <=2048 vectors, fixed seed); every batch assigns its
+# vectors to the nearest centroid and only the n_probe cells closest to the
+# query are exact-scored (reusing brute_force_topk's per-batch partial
+# top-k). Probing 4/16 cells scans ~1/4 of the corpus. Pinned-golden oracle;
+# recall vs exact top-k asserted in pytest.
+# ---------------------------------------------------------------------------
+
+def _fit_centroids(sf_dir: str, n_cells: int, seed: int = 5,
+                   n_iter: int = 8, sample_cap: int = 2048) -> np.ndarray:
+    first = pq.ParquetFile(_p(sf_dir, "embeddings")).read_row_group(
+        0, columns=["embedding"])
+    mat = np.asarray(first.column("embedding").to_pylist(), dtype=np.float64)
+    stride = max(1, len(mat) // sample_cap)
+    mat = mat[::stride][:sample_cap]
+    norms = np.linalg.norm(mat, axis=1)
+    norms[norms == 0] = 1.0
+    unit = mat / norms[:, None]
+    rng = np.random.default_rng(seed)
+    cent = unit[rng.choice(len(unit), size=min(n_cells, len(unit)),
+                           replace=False)]
+    for _ in range(n_iter):
+        assign = np.argmax(unit @ cent.T, axis=1)
+        for c in range(len(cent)):
+            mask = assign == c
+            if mask.any():  # empty cells keep their previous centroid
+                v = unit[mask].mean(axis=0)
+                n = np.linalg.norm(v)
+                if n > 0:
+                    cent[c] = v / n
+    return cent
+
+
+def q_embedding_ann_ivf(sf_dir: str, k: int = 10, n_cells: int = 16,
+                        n_probe: int = 4) -> pa.Table:
+    from .functions.similarity import _as_matrix, brute_force_topk
+    from .queries import _query_vector  # lazy: avoids import cycle
+
+    q = _query_vector(sf_dir)
+    cent = _fit_centroids(sf_dir, n_cells)
+    qn = q / (np.linalg.norm(q) or 1.0)
+    probed = np.argsort(-(cent @ qn))[:n_probe]
+    probe_set = np.zeros(len(cent), dtype=bool)
+    probe_set[probed] = True
+    cent_ref = ray.put((cent, probe_set))
+
+    def in_probed_cells(t: pa.Table) -> pa.Table:
+        centroids, probe_mask = ray.get(cent_ref)
+        mat = _as_matrix(t.column("embedding"))
+        if not mat.size:
+            return t
+        norms = np.linalg.norm(mat, axis=1)
+        norms[norms == 0] = 1.0
+        assign = np.argmax((mat / norms[:, None]) @ centroids.T, axis=1)
+        return t.filter(pa.array(probe_mask[assign]))
+
+    ds = rd.read_parquet(_p(sf_dir, "embeddings"),
+                         columns=["vec_id", "embedding"]) \
+        .map_batches(in_probed_cells, batch_format="pyarrow")
+    return brute_force_topk(ds, q, k=k).select(["vec_id"])
+
+
+# ---------------------------------------------------------------------------
+# registry fragments merged by queries.py
+# ---------------------------------------------------------------------------
+
+EXT_QUERIES: dict[str, Callable[[str], Any]] = {
+    "asof_join": q_asof_join,
+    "user_activity_features": q_user_activity_features,
+    "term_frequencies": q_term_frequencies,
+    "stratified_sample": q_stratified_sample,
+    "decontaminate": q_decontaminate,
+    "near_dup_clusters": q_near_dup_clusters,
+    "embedding_ann_ivf": q_embedding_ann_ivf,
+}
+
+EXT_ORACLES: dict[str, str] = {
+    "asof_join": SQL_ASOF_JOIN,
+    "user_activity_features": SQL_USER_ACTIVITY,
+    "term_frequencies": SQL_TERM_FREQUENCIES,
+    "stratified_sample": SQL_STRATIFIED_SAMPLE,
+    "decontaminate": SQL_DECONTAMINATE,
+}
+
+# pinned-golden-backed (not SQL-expressible: LSH-derived clusters, ANN)
+EXT_GOLDEN_QUERIES = ("near_dup_clusters", "embedding_ann_ivf")
