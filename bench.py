@@ -111,6 +111,9 @@ def run_bench() -> dict:
         headline = rep_s if headline is None else min(headline, rep_s)
 
     q_times: dict[str, float] = {}
+    # timing-only: no golden compare happens here, so disable the
+    # wrong-scale golden guard (goldens are pinned at sf0.001/sf0.01)
+    os.environ.setdefault("PDFX_NO_GOLDEN_GUARD", "1")
     for name in ([] if os.environ.get("GRAFT_BENCH_SKIP_QUERIES") else BENCH_QUERIES):
         tq = time.perf_counter()
         res = QUERIES[name](SF_DIR)
