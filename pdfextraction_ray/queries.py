@@ -1681,10 +1681,16 @@ for _name in GOLDEN_ORACLE_QUERIES:
 from .queries_ext import (EXT_GOLDEN_QUERIES, EXT_ORACLES,  # noqa: E402
                           EXT_QUERIES)
 
+from .queries_curation import (CUR_GOLDEN_QUERIES, CUR_ORACLES,  # noqa: E402
+                               CUR_QUERIES)
+
 QUERIES.update(EXT_QUERIES)
+QUERIES.update(CUR_QUERIES)
 ORACLES.update(EXT_ORACLES)
-GOLDEN_ORACLE_QUERIES = GOLDEN_ORACLE_QUERIES + tuple(EXT_GOLDEN_QUERIES)
-for _name in EXT_GOLDEN_QUERIES:
+ORACLES.update(CUR_ORACLES)
+GOLDEN_ORACLE_QUERIES = (GOLDEN_ORACLE_QUERIES + tuple(EXT_GOLDEN_QUERIES)
+                         + tuple(CUR_GOLDEN_QUERIES))
+for _name in tuple(EXT_GOLDEN_QUERIES) + tuple(CUR_GOLDEN_QUERIES):
     ORACLES[_name] = _golden_sql(_name)
     QUERIES[_name] = _golden_guard(_name, QUERIES[_name])
 del _name

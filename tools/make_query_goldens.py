@@ -31,6 +31,8 @@ GOLDEN_QUERIES = [
     "audio_features",
     "near_dup_clusters",
     "embedding_ann_ivf",
+    "kmeans_clusters",
+    "approx_distinct_users",
 ]
 
 OUT_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
