@@ -31,7 +31,14 @@ BENCH_QUERIES = ["pricing_summary", "events_by_type", "top_recent_events",
                  "merge_longest_wins", "minhash_near_dup_pairs",
                  "simhash_near_dup_pairs", "user_sessions", "value_percentiles",
                  "lineitem_semi_join", "segment_revenue", "curated_documents",
-                 "top_event_per_user", "props_json_sum"]
+                 "top_event_per_user", "props_json_sum",
+                 # round-3 curation/analytics operators (near_dup_clusters is
+                 # excluded: it re-runs minhash_near_dup_pairs, timed above)
+                 "asof_join", "user_activity_features", "term_frequencies",
+                 "stratified_sample", "decontaminate", "embedding_ann_ivf",
+                 "redact_props", "word_repetition", "tfidf_terms",
+                 "events_range_join", "kmeans_clusters",
+                 "approx_distinct_users", "brand_revenue_bucketed"]
 
 
 def _generate_corpus(n_docs: int, out_dir: str) -> None:

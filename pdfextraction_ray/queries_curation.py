@@ -249,13 +249,18 @@ GROUP BY b.band ORDER BY b.band
 
 # ---------------------------------------------------------------------------
 # distributed k-means over the embedding column (Lloyd's, fixed iterations,
-# deterministic init = the first k vectors by vec_id). Each iteration is ONE
-# streaming pass emitting per-batch partial (cluster -> sum_vec, count);
-# the driver merges k x dim floats — never a vector row. Partials are merged
-# in a deterministically SORTED order (by cluster, then batch-min vec_id) so
-# the result is reproducible under Ray's unordered block execution. The
-# pinned-golden oracle reports per-cluster size + rounded inertia/centroid
-# norm; assignment-level checks live in pytest.
+# deterministic init = the first k vectors by vec_id). The projected input is
+# pinned in the object store ONCE (`materialize()` + `to_arrow_refs()`); each
+# Lloyd's pass then runs as one raw Ray task per block against the shared
+# refs — the documented drop-to-raw-tasks case: the Dataset API has no way to
+# express an iterative consensus loop without paying a full streaming-executor
+# startup (~1.5 s at bench scale) per pass, while the blocks themselves never
+# move after the pin. Each task returns only (block-min vec_id, k counts,
+# k x dim partial sums); the driver merges them in min-vec_id-sorted order so
+# float accumulation order — and therefore the result — is reproducible under
+# Ray's unordered task completion. The pinned-golden oracle reports
+# per-cluster size + rounded inertia/centroid norm; assignment-level checks
+# live in pytest.
 # ---------------------------------------------------------------------------
 
 KMEANS_K = 8
@@ -267,57 +272,57 @@ def _emb_matrix(col) -> np.ndarray:
     return _as_matrix(col)
 
 
-def _kmeans_pass(ds: rd.Dataset, cent_ref, k: int, with_inertia: bool):
-    def partial(t: pa.Table) -> pa.Table:
-        cent = ray.get(cent_ref)
-        mat = _emb_matrix(t.column("embedding"))
-        ids = t.column("vec_id").to_numpy(zero_copy_only=False)
-        if not mat.size:
-            return pa.table({"cluster": pa.array([], pa.int64()),
-                            "n": pa.array([], pa.int64()),
-                            "min_id": pa.array([], pa.int64()),
-                            "payload": pa.array([], pa.list_(pa.float64()))})
-        # argmin ||x-c||^2 == argmin (|c|^2 - 2 x.c): no n*k*dim temp
-        d = -2.0 * (mat @ cent.T) + (cent * cent).sum(axis=1)[None, :]
-        assign = np.argmin(d, axis=1)
-        n = np.bincount(assign, minlength=k).astype(np.int64)
-        if with_inertia:
-            row = np.arange(len(mat))
-            sq = d[row, assign] + (mat * mat).sum(axis=1)
-            payload = np.bincount(assign, weights=sq, minlength=k)[:, None]
-        else:
-            payload = np.zeros((k, mat.shape[1]))
-            np.add.at(payload, assign, mat)
-        return pa.table({
-            "cluster": pa.array(np.arange(k, dtype=np.int64)),
-            "n": pa.array(n),
-            "min_id": pa.array(np.full(k, ids.min(), dtype=np.int64)),
-            "payload": pa.array(list(payload), pa.list_(pa.float64()))})
+@ray.remote
+def _kmeans_block_partial(block: pa.Table, cent: np.ndarray, k: int,
+                          with_inertia: bool):
+    mat = _emb_matrix(block.column("embedding"))
+    if not mat.size:
+        return None
+    ids = block.column("vec_id").to_numpy(zero_copy_only=False)
+    # argmin ||x-c||^2 == argmin (|c|^2 - 2 x.c): no n*k*dim temp
+    d = -2.0 * (mat @ cent.T) + (cent * cent).sum(axis=1)[None, :]
+    assign = np.argmin(d, axis=1)
+    n = np.bincount(assign, minlength=k).astype(np.int64)
+    if with_inertia:
+        row = np.arange(len(mat))
+        sq = d[row, assign] + (mat * mat).sum(axis=1)
+        payload = np.bincount(assign, weights=sq, minlength=k)[:, None]
+    else:
+        payload = np.zeros((k, mat.shape[1]))
+        np.add.at(payload, assign, mat)
+    return int(ids.min()), n, payload
 
-    parts = ds.map_batches(partial, batch_format="pyarrow").take_all()
-    parts.sort(key=lambda r: (r["cluster"], r["min_id"]))
+
+def _kmeans_pass(block_refs: list, cent: np.ndarray, k: int,
+                 with_inertia: bool):
+    cent_ref = ray.put(cent)
+    parts = ray.get([_kmeans_block_partial.remote(b, cent_ref, k,
+                                                  with_inertia)
+                     for b in block_refs])
+    parts = sorted((p for p in parts if p is not None), key=lambda p: p[0])
     counts = np.zeros(k, dtype=np.int64)
-    dim = len(parts[0]["payload"]) if parts else 1
+    dim = parts[0][2].shape[1] if parts else 1
     sums = np.zeros((k, dim))
-    for r in parts:
-        counts[r["cluster"]] += r["n"]
-        sums[r["cluster"]] += np.asarray(r["payload"])
+    for _, n, payload in parts:
+        counts += n
+        sums += payload
     return counts, sums
 
 
 def q_kmeans_clusters(sf_dir: str, k: int = KMEANS_K,
                       iters: int = KMEANS_ITERS) -> pa.Table:
     ds = rd.read_parquet(_p(sf_dir, "embeddings"),
-                         columns=["vec_id", "embedding"])
+                         columns=["vec_id", "embedding"]).materialize()
+    refs = ds.to_arrow_refs()
     seed = ds.filter(expr=f"vec_id < {k}").take_all()
     seed.sort(key=lambda r: r["vec_id"])
     cent = np.stack([np.asarray(r["embedding"], dtype=np.float64)
                      for r in seed])
     for _ in range(iters):
-        counts, sums = _kmeans_pass(ds, ray.put(cent), k, with_inertia=False)
+        counts, sums = _kmeans_pass(refs, cent, k, with_inertia=False)
         nonempty = counts > 0
         cent[nonempty] = sums[nonempty] / counts[nonempty][:, None]
-    counts, inertia = _kmeans_pass(ds, ray.put(cent), k, with_inertia=True)
+    counts, inertia = _kmeans_pass(refs, cent, k, with_inertia=True)
     return pa.table({
         "cluster": pa.array(np.arange(k, dtype=np.int64)),
         "size": pa.array(counts),
