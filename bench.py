@@ -38,7 +38,9 @@ BENCH_QUERIES = ["pricing_summary", "events_by_type", "top_recent_events",
                  "stratified_sample", "decontaminate", "embedding_ann_ivf",
                  "redact_props", "word_repetition", "tfidf_terms",
                  "events_range_join", "kmeans_clusters",
-                 "approx_distinct_users", "brand_revenue_bucketed"]
+                 "approx_distinct_users", "brand_revenue_bucketed",
+                 "zscore_events", "top3_events_per_user",
+                 "heavy_hitter_terms", "inverted_index"]
 
 
 def _generate_corpus(n_docs: int, out_dir: str) -> None:

@@ -1684,10 +1684,14 @@ from .queries_ext import (EXT_GOLDEN_QUERIES, EXT_ORACLES,  # noqa: E402
 from .queries_curation import (CUR_GOLDEN_QUERIES, CUR_ORACLES,  # noqa: E402
                                CUR_QUERIES)
 
+from .queries_analytics import ANA_ORACLES, ANA_QUERIES  # noqa: E402
+
 QUERIES.update(EXT_QUERIES)
 QUERIES.update(CUR_QUERIES)
+QUERIES.update(ANA_QUERIES)
 ORACLES.update(EXT_ORACLES)
 ORACLES.update(CUR_ORACLES)
+ORACLES.update(ANA_ORACLES)
 GOLDEN_ORACLE_QUERIES = (GOLDEN_ORACLE_QUERIES + tuple(EXT_GOLDEN_QUERIES)
                          + tuple(CUR_GOLDEN_QUERIES))
 for _name in tuple(EXT_GOLDEN_QUERIES) + tuple(CUR_GOLDEN_QUERIES):

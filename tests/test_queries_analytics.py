@@ -1,0 +1,84 @@
+"""Semantic tests for the round-3 analytics operators (queries_analytics.py),
+beyond the oracle value-equality covered by test_queries_oracle."""
+
+from collections import Counter
+
+import numpy as np
+import pyarrow.parquet as pq
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_zscore_events_standardizes(ray_session):
+    """Per-type zscores must have mean ~0 and population std ~1, and the
+    transform must be row-for-row (same event count, values passthrough)."""
+    from pdfextraction_ray.queries_analytics import q_zscore_events
+
+    t = q_zscore_events(SF).to_pandas()
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["event_id", "value"]).to_pandas()
+    assert len(t) == len(ev)
+    merged = t.merge(ev, on="event_id", suffixes=("", "_raw"))
+    assert np.allclose(merged.value, merged.value_raw)
+    for _, g in t.groupby("event_type"):
+        assert abs(g.zscore.mean()) < 1e-3
+        assert abs(g.zscore.std(ddof=0) - 1.0) < 1e-3
+
+
+def test_top3_per_user_ordering(ray_session):
+    """<=3 rows per user, rnk dense from 1, value non-increasing within a
+    user, and the per-user set equals an exact pandas nlargest."""
+    from pdfextraction_ray.queries_analytics import q_top3_events_per_user
+
+    t = q_top3_events_per_user(SF).to_pandas()
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["user_id", "event_id", "value"]).to_pandas()
+    for uid, g in t.groupby("user_id"):
+        assert list(g.rnk) == list(range(1, len(g) + 1)) and len(g) <= 3
+        assert (g.value.diff().dropna() <= 0).all()
+        expect = ev[ev.user_id == uid].sort_values(
+            ["value", "event_id"], ascending=[False, True]).head(3)
+        assert list(g.event_id) == list(expect.event_id)
+
+
+def test_heavy_hitters_exact_and_selective(ray_session):
+    """CMS + verify must equal the exact frequent-token set (no false
+    positives OR negatives), and be a strict subset of the vocabulary."""
+    from pdfextraction_ray.queries_analytics import (HH_DENOM,
+                                                     q_heavy_hitter_terms)
+
+    t = q_heavy_hitter_terms(SF).to_pandas()
+    texts = pq.read_table(f"{SF}/documents.parquet",
+                          columns=["text"]).column("text").to_pylist()
+    counts = Counter(tok for txt in texts for tok in txt.split(" ") if tok)
+    thresh = -(-sum(counts.values()) // HH_DENOM)  # ceil
+    expect = {k: v for k, v in counts.items() if v >= thresh}
+    assert dict(zip(t.token, t.n)) == expect
+    assert 0 < len(t) < len(counts)
+
+
+def test_inverted_index_postings(ray_session):
+    """Every token's postings must be the exact sorted doc_id list."""
+    from pdfextraction_ray.queries_analytics import q_inverted_index
+
+    t = q_inverted_index(SF).to_pandas()
+    docs = pq.read_table(f"{SF}/documents.parquet",
+                         columns=["doc_id", "text"]).to_pandas()
+    index: dict = {}
+    for did, txt in zip(docs.doc_id, docs.text):
+        for tok in set(txt.split(" ")) - {""}:
+            index.setdefault(tok, set()).add(did)
+    assert len(t) == len(index)
+    for row in t.itertuples():
+        ids = sorted(index[row.token])
+        assert row.df == len(ids)
+        assert row.postings == ",".join(str(i) for i in ids)
+
+
+def test_analytics_registry_wired(ray_session):
+    from pdfextraction_ray.queries import ORACLES, QUERIES
+    from pdfextraction_ray.queries_analytics import ANA_QUERIES
+
+    for name in ANA_QUERIES:
+        assert name in QUERIES and name in ORACLES
+        assert "SELECT" in ORACLES[name]  # all four are real SQL oracles
