@@ -1686,12 +1686,16 @@ from .queries_curation import (CUR_GOLDEN_QUERIES, CUR_ORACLES,  # noqa: E402
 
 from .queries_analytics import ANA_ORACLES, ANA_QUERIES  # noqa: E402
 
+from .queries_training import TRN_ORACLES, TRN_QUERIES  # noqa: E402
+
 QUERIES.update(EXT_QUERIES)
 QUERIES.update(CUR_QUERIES)
 QUERIES.update(ANA_QUERIES)
+QUERIES.update(TRN_QUERIES)
 ORACLES.update(EXT_ORACLES)
 ORACLES.update(CUR_ORACLES)
 ORACLES.update(ANA_ORACLES)
+ORACLES.update(TRN_ORACLES)
 GOLDEN_ORACLE_QUERIES = (GOLDEN_ORACLE_QUERIES + tuple(EXT_GOLDEN_QUERIES)
                          + tuple(CUR_GOLDEN_QUERIES))
 for _name in tuple(EXT_GOLDEN_QUERIES) + tuple(CUR_GOLDEN_QUERIES):
