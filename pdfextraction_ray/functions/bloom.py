@@ -1,0 +1,90 @@
+"""Vectorized Bloom filter for map-side semi-join pruning.
+
+The scale shape this enables: a probe stream (billions of rows) is filtered
+against a build side too large to broadcast as an exact set but whose BLOOM
+image is tiny (~10 bits/key at 1% fp). Build is distributed — each build
+block emits a partial filter over its own keys and the partials OR-merge
+associatively (the same merge a multi-node tree-reduce needs) — then the
+merged bits broadcast once via ``ray.put``. Because membership answers may
+be false-positive, callers needing exactness follow the pruned stream with
+an exact verify (e.g. ``functions.joins.bucketed_join``): the bloom cuts
+probe rows BEFORE the expensive join, the join removes the ~1% survivors
+that were noise.
+
+Hashing is double-hashing over splitmix64 (position_i = h1 + i*h2 mod m),
+deterministic across runs/platforms; string keys go through pandas'
+fixed-key siphash like ``joins._bucket_of``.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def _mix(x: np.ndarray) -> np.ndarray:
+    z = (x.astype(np.uint64) + np.uint64(0x9E3779B97F4A7C15))
+    z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return z ^ (z >> np.uint64(31))
+
+
+def _as_u64(keys) -> np.ndarray:
+    if isinstance(keys, (pa.Array, pa.ChunkedArray)):
+        keys = keys.to_numpy(zero_copy_only=False)
+    keys = np.asarray(keys)
+    if np.issubdtype(keys.dtype, np.integer):
+        return keys.astype(np.uint64, copy=False)
+    return pd.util.hash_array(keys.astype(object))
+
+
+def bloom_params(n_capacity: int, fp_rate: float = 0.01) -> tuple[int, int]:
+    """(m_bits, k) sized for ``n_capacity`` keys at ``fp_rate``; m_bits is
+    rounded up to a byte multiple."""
+    n = max(1, n_capacity)
+    m = math.ceil(-n * math.log(fp_rate) / (math.log(2) ** 2))
+    m = (m + 7) // 8 * 8
+    k = max(1, round(m / n * math.log(2)))
+    return m, k
+
+
+def _positions(keys_u64: np.ndarray, m_bits: int, k: int) -> np.ndarray:
+    """(len(keys), k) bit positions via double hashing."""
+    h1 = _mix(keys_u64)
+    h2 = _mix(keys_u64 ^ np.uint64(0xA5A5A5A5A5A5A5A5)) | np.uint64(1)
+    i = np.arange(k, dtype=np.uint64)
+    return ((h1[:, None] + i[None, :] * h2[:, None])
+            % np.uint64(m_bits)).astype(np.int64)
+
+
+def bloom_build(keys, m_bits: int, k: int) -> np.ndarray:
+    """Byte array (uint8, m_bits/8 long) with all key positions set."""
+    bits = np.zeros(m_bits // 8, dtype=np.uint8)
+    u = _as_u64(keys)
+    if len(u):
+        pos = _positions(u, m_bits, k).ravel()
+        np.bitwise_or.at(bits, pos >> 3,
+                         np.left_shift(np.uint8(1), (pos & 7).astype(np.uint8)))
+    return bits
+
+
+def bloom_or(parts: list[np.ndarray]) -> np.ndarray:
+    """Associative OR-merge of same-shape partial filters."""
+    out = np.zeros_like(parts[0])
+    for p in parts:
+        out |= np.frombuffer(bytes(p), dtype=np.uint8)
+    return out
+
+
+def bloom_contains(bits: np.ndarray, keys, m_bits: int, k: int) -> np.ndarray:
+    """Vectorized membership test; True may be a false positive, False is
+    always correct."""
+    u = _as_u64(keys)
+    if not len(u):
+        return np.zeros(0, dtype=bool)
+    pos = _positions(u, m_bits, k)
+    hit = (bits[pos >> 3] >> (pos & 7).astype(np.uint8)) & 1
+    return hit.all(axis=1)

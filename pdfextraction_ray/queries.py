@@ -1688,14 +1688,18 @@ from .queries_analytics import ANA_ORACLES, ANA_QUERIES  # noqa: E402
 
 from .queries_training import TRN_ORACLES, TRN_QUERIES  # noqa: E402
 
+from .queries_scale import SCL_ORACLES, SCL_QUERIES  # noqa: E402
+
 QUERIES.update(EXT_QUERIES)
 QUERIES.update(CUR_QUERIES)
 QUERIES.update(ANA_QUERIES)
 QUERIES.update(TRN_QUERIES)
+QUERIES.update(SCL_QUERIES)
 ORACLES.update(EXT_ORACLES)
 ORACLES.update(CUR_ORACLES)
 ORACLES.update(ANA_ORACLES)
 ORACLES.update(TRN_ORACLES)
+ORACLES.update(SCL_ORACLES)
 GOLDEN_ORACLE_QUERIES = (GOLDEN_ORACLE_QUERIES + tuple(EXT_GOLDEN_QUERIES)
                          + tuple(CUR_GOLDEN_QUERIES))
 for _name in tuple(EXT_GOLDEN_QUERIES) + tuple(CUR_GOLDEN_QUERIES):

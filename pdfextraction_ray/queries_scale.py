@@ -1,0 +1,229 @@
+"""Round-3 registry extension #5: scale-utility operators — bloom-pruned
+semi-join (the probe-side row cut for joins whose build side outgrows a
+broadcast set), per-domain quota sampling (bounded docs per source), and
+group-preserving train/val/test split assignment.
+
+Same conventions as the other extension modules: column names shared with
+the oracle, per-batch work vectorized unless oracle parity forces a per-row
+hash (documented where so), only broadcast small sides / bounded partials /
+final results reach the driver. All three are ANSI-SQL-expressible.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+from typing import Any, Callable
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data as rd
+from ray.data.aggregate import Sum
+
+from .functions.bloom import (bloom_build, bloom_contains, bloom_or,
+                              bloom_params)
+from .functions.joins import bucketed_join
+from .queries_curation import _roundf
+
+
+def _p(sf_dir: str, table: str) -> str:
+    return os.path.join(sf_dir, f"{table}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# bloom-pruned semi-join: orders of customers with acctbal > threshold.
+# The build side (matching custkeys) is compiled DISTRIBUTED into a Bloom
+# filter — per-block partial filters OR-merged on the driver (the same
+# associative merge a multi-node tree-reduce uses), broadcast once via
+# ray.put. The probe stream drops ~all non-member rows per batch BEFORE any
+# join machinery runs; the ~fp_rate survivors that are noise are removed by
+# an exact bucketed map-side verify. Neither side ever shuffles; the driver
+# holds the bloom bytes (~10 bits/key) and the narrow build keys (mid-size
+# regime, see functions/joins.py).
+# ---------------------------------------------------------------------------
+
+BLOOM_BAL_THRESHOLD = 5000.0
+BLOOM_FP_RATE = 0.01
+
+
+def q_orders_bloom_semi_join(sf_dir: str) -> pa.Table:
+    cust_path = _p(sf_dir, "customer")
+    n_cust = pa.parquet.read_metadata(cust_path).num_rows  # capacity bound
+    m_bits, k = bloom_params(n_cust, BLOOM_FP_RATE)
+
+    keep = rd.read_parquet(cust_path, columns=["c_custkey", "c_acctbal"]) \
+        .map_batches(lambda t: t.filter(
+            pc.greater(t["c_acctbal"], BLOOM_BAL_THRESHOLD)),
+            batch_format="pyarrow") \
+        .select_columns(["c_custkey"]).materialize()
+
+    def partial_bloom(t: pa.Table) -> pa.Table:
+        bits = bloom_build(t.column("c_custkey"), m_bits, k)
+        return pa.table({"bloom": pa.array([bits.tobytes()], pa.binary())})
+
+    parts = [np.frombuffer(r["bloom"], dtype=np.uint8) for r in
+             keep.map_batches(partial_bloom, batch_format="pyarrow",
+                              batch_size=None).take_all()]
+    bloom_ref = ray.put(bloom_or(parts))
+    build_keys = pa.Table.from_pandas(keep.to_pandas(), preserve_index=False)
+
+    def prune(t: pa.Table) -> pa.Table:
+        bits = ray.get(bloom_ref)
+        return t.filter(pa.array(
+            bloom_contains(bits, t.column("o_custkey"), m_bits, k)))
+
+    candidates = rd.read_parquet(
+        _p(sf_dir, "orders"),
+        columns=["o_custkey", "o_orderpriority", "o_totalprice"]) \
+        .map_batches(prune, batch_format="pyarrow")
+    verified = bucketed_join(candidates, build_keys, probe_key="o_custkey",
+                             build_key="c_custkey", value_cols=[],
+                             join_type="inner")
+
+    def agg_partial(t: pa.Table) -> pa.Table:
+        codes, uniq = pd.factorize(
+            t.column("o_orderpriority").to_numpy(zero_copy_only=False))
+        price = t.column("o_totalprice").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "o_orderpriority": pa.array(uniq),
+            "n_orders": pa.array(np.bincount(codes, minlength=len(uniq))
+                                 .astype(np.int64)),
+            "total_price": pa.array(np.bincount(codes, weights=price,
+                                                minlength=len(uniq)))})
+
+    agg = verified.map_batches(agg_partial, batch_format="pyarrow") \
+        .groupby("o_orderpriority") \
+        .aggregate(Sum("n_orders", alias_name="n_orders"),
+                   Sum("total_price", alias_name="total_price"))
+    t = pa.Table.from_pandas(agg.to_pandas(), preserve_index=False)
+    t = _roundf(t, ["total_price"], 2)
+    return t.sort_by([("o_orderpriority", "ascending")])
+
+
+SQL_ORDERS_BLOOM_SEMI_JOIN = """
+SELECT o_orderpriority, count(*) AS n_orders,
+       CAST(round(sum(o_totalprice), 2) AS REAL) AS total_price
+FROM orders
+WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal > 5000)
+GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
+# ---------------------------------------------------------------------------
+# per-domain quota sampling: keep at most QUOTA_K docs per source, ranked by
+# a deterministic hash so the sample is reproducible and unbiased by input
+# order. Combiner-before-shuffle: each batch keeps its own top-K per source,
+# so the wide stage moves <= K * |sources| * n_blocks rows, never the
+# corpus. md5-per-row (not a vectorized numpy hash) is deliberate: the
+# oracle must reproduce the ranking in SQL, and md5 is the hash both
+# engines share (same trade as queries_ext.q_stratified_sample).
+# ---------------------------------------------------------------------------
+
+QUOTA_K = 5
+
+
+def _quota_topk(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.sort_values(["source", "rank_key", "doc_id"], kind="stable")
+    return df.groupby("source", sort=False).head(QUOTA_K)
+
+
+def q_domain_quota_sample(sf_dir: str) -> pa.Table:
+    ds = rd.read_parquet(_p(sf_dir, "documents"),
+                         columns=["doc_id", "source"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.assign(rank_key=[
+            hashlib.md5(str(i).encode()).hexdigest() for i in df.doc_id])
+        return _quota_topk(df)
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        df = _quota_topk(df)
+        df = df.assign(rk=np.arange(1, len(df) + 1, dtype=np.int64))
+        return df[["source", "rk", "doc_id"]]
+
+    out = ds.map_batches(partial, batch_format="pandas") \
+        .groupby("source").map_groups(final, batch_format="pandas")
+    t = pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+    return t.sort_by([("source", "ascending"), ("rk", "ascending")])
+
+
+SQL_DOMAIN_QUOTA_SAMPLE = """
+SELECT source, rk, doc_id FROM (
+    SELECT source, doc_id,
+           row_number() OVER (PARTITION BY source
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+    FROM documents)
+WHERE rk <= 5 ORDER BY source, rk
+"""
+
+
+# ---------------------------------------------------------------------------
+# group-preserving train/val/test split: the split key is a hash of the
+# SOURCE, not the doc, so an entire domain lands in exactly one split (no
+# domain-level leakage between train and eval). Per-batch assignment hashes
+# only the batch's UNIQUE sources (via factorize); the wide stage moves the
+# (split, source)-sized partial counts, never rows.
+# ---------------------------------------------------------------------------
+
+_VAL_DIGITS = frozenset("cd")      # 2/16 of sources
+_TEST_DIGITS = frozenset("ef")     # 2/16 of sources
+
+
+def _split_of(source: str) -> str:
+    d = hashlib.md5(source.encode()).hexdigest()[0]
+    return "val" if d in _VAL_DIGITS else ("test" if d in _TEST_DIGITS
+                                           else "train")
+
+
+def q_split_assignment(sf_dir: str) -> pa.Table:
+    ds = rd.read_parquet(_p(sf_dir, "documents"), columns=["source"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        codes, uniq = pd.factorize(
+            t.column("source").to_numpy(zero_copy_only=False))
+        splits = [_split_of(s) for s in uniq]
+        return pa.table({
+            "split": pa.array(splits),
+            "source": pa.array(uniq),
+            "n": pa.array(np.bincount(codes, minlength=len(uniq))
+                          .astype(np.int64))})
+
+    per_source = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby(["split", "source"]).aggregate(Sum("n", alias_name="n"))
+    small = per_source.to_pandas()  # |sources| rows
+    out = small.groupby("split", sort=True).agg(
+        n_docs=("n", "sum"), n_sources=("source", "nunique")).reset_index()
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+SQL_SPLIT_ASSIGNMENT = """
+WITH s AS (SELECT source,
+                  CASE WHEN substr(md5(source), 1, 1) IN ('c', 'd')
+                           THEN 'val'
+                       WHEN substr(md5(source), 1, 1) IN ('e', 'f')
+                           THEN 'test'
+                       ELSE 'train' END AS split
+           FROM documents)
+SELECT split, count(*) AS n_docs, count(DISTINCT source) AS n_sources
+FROM s GROUP BY split ORDER BY split
+"""
+
+
+# ---------------------------------------------------------------------------
+# registry fragments merged by queries.py
+# ---------------------------------------------------------------------------
+
+SCL_QUERIES: dict[str, Callable[[str], Any]] = {
+    "orders_bloom_semi_join": q_orders_bloom_semi_join,
+    "domain_quota_sample": q_domain_quota_sample,
+    "split_assignment": q_split_assignment,
+}
+
+SCL_ORACLES: dict[str, str] = {
+    "orders_bloom_semi_join": SQL_ORDERS_BLOOM_SEMI_JOIN,
+    "domain_quota_sample": SQL_DOMAIN_QUOTA_SAMPLE,
+    "split_assignment": SQL_SPLIT_ASSIGNMENT,
+}

@@ -1,0 +1,99 @@
+"""Semantic tests for the scale-utility operators (queries_scale.py) and the
+Bloom filter they build on, beyond the oracle value-equality already covered
+by test_queries_oracle."""
+
+import numpy as np
+import pyarrow.parquet as pq
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_bloom_no_false_negatives_and_bounded_fp():
+    from pdfextraction_ray.functions.bloom import (bloom_build,
+                                                   bloom_contains,
+                                                   bloom_params)
+
+    rng = np.random.default_rng(11)
+    members = rng.choice(10_000_000, size=20_000, replace=False)
+    m, k = bloom_params(len(members), 0.01)
+    bits = bloom_build(members, m, k)
+    assert bloom_contains(bits, members, m, k).all()  # never a false negative
+    others = np.setdiff1d(rng.choice(10_000_000, size=50_000, replace=False),
+                          members)
+    fp = bloom_contains(bits, others, m, k).mean()
+    assert fp < 0.03  # sized for 1%, allow slack
+
+
+def test_bloom_or_merge_equals_single_build():
+    """Partial filters over disjoint key blocks OR-merge to exactly the
+    filter built over the union — the associativity a tree-reduce needs."""
+    from pdfextraction_ray.functions.bloom import (bloom_build, bloom_or,
+                                                   bloom_params)
+
+    keys = np.arange(5000, dtype=np.int64)
+    m, k = bloom_params(len(keys), 0.01)
+    whole = bloom_build(keys, m, k)
+    parts = [bloom_build(c, m, k) for c in np.array_split(keys, 7)]
+    assert bytes(bloom_or(parts)) == bytes(whole)
+
+
+def test_bloom_string_keys():
+    from pdfextraction_ray.functions.bloom import (bloom_build,
+                                                   bloom_contains,
+                                                   bloom_params)
+
+    keys = np.array([f"dom{i}.example" for i in range(1000)], dtype=object)
+    m, k = bloom_params(len(keys), 0.01)
+    bits = bloom_build(keys, m, k)
+    assert bloom_contains(bits, keys, m, k).all()
+
+
+def test_bloom_semi_join_matches_exact(ray_session):
+    """The bloom-pruned + verified result must equal a pure-pandas exact
+    semi-join aggregate (false positives all removed by the verify)."""
+    from pdfextraction_ray.queries_scale import (BLOOM_BAL_THRESHOLD,
+                                                 q_orders_bloom_semi_join)
+
+    t = q_orders_bloom_semi_join(SF).to_pandas()
+    cust = pq.read_table(f"{SF}/customer.parquet").to_pandas()
+    orders = pq.read_table(f"{SF}/orders.parquet").to_pandas()
+    keep = set(cust.loc[cust.c_acctbal > BLOOM_BAL_THRESHOLD, "c_custkey"])
+    hit = orders[orders.o_custkey.isin(keep)]
+    expect = hit.groupby("o_orderpriority").agg(
+        n_orders=("o_custkey", "size"),
+        total_price=("o_totalprice", "sum")).reset_index()
+    assert list(t.o_orderpriority) == list(expect.o_orderpriority)
+    assert list(t.n_orders) == list(expect.n_orders)
+    assert np.allclose(t.total_price,
+                       np.round(expect.total_price, 2).astype(np.float32))
+
+
+def test_domain_quota_caps_every_source(ray_session):
+    from pdfextraction_ray.queries_scale import QUOTA_K, q_domain_quota_sample
+
+    t = q_domain_quota_sample(SF).to_pandas()
+    per_src = t.groupby("source").size()
+    docs = pq.read_table(f"{SF}/documents.parquet",
+                         columns=["source"]).to_pandas()
+    avail = docs.groupby("source").size()
+    assert (per_src == np.minimum(avail[per_src.index], QUOTA_K)).all()
+    assert (t.groupby("source").rk.max() <= QUOTA_K).all()
+    # deterministic across runs (hash-ranked, not input-order-ranked)
+    assert t.equals(q_domain_quota_sample(SF).to_pandas())
+
+
+def test_split_assignment_group_preserving(ray_session):
+    """Every source maps to exactly one split, and the per-split doc counts
+    cover the corpus with no overlap."""
+    from pdfextraction_ray.queries_scale import _split_of, q_split_assignment
+
+    t = q_split_assignment(SF).to_pandas()
+    docs = pq.read_table(f"{SF}/documents.parquet",
+                         columns=["source"]).to_pandas()
+    assert t.n_docs.sum() == len(docs)
+    assert t.n_sources.sum() == docs.source.nunique()
+    by_split = {}
+    for s in docs.source.unique():
+        by_split.setdefault(_split_of(s), set()).add(s)
+    got = dict(zip(t.split, t.n_sources))
+    assert got == {k: len(v) for k, v in by_split.items()}
