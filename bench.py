@@ -40,7 +40,10 @@ BENCH_QUERIES = ["pricing_summary", "events_by_type", "top_recent_events",
                  "events_range_join", "kmeans_clusters",
                  "approx_distinct_users", "brand_revenue_bucketed",
                  "zscore_events", "top3_events_per_user",
-                 "heavy_hitter_terms", "inverted_index"]
+                 "heavy_hitter_terms", "inverted_index",
+                 "doc_chunks", "sequence_packing", "funnel_stages",
+                 "orders_bloom_semi_join", "domain_quota_sample",
+                 "split_assignment"]
 
 
 def _generate_corpus(n_docs: int, out_dir: str) -> None:
