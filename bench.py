@@ -43,7 +43,7 @@ BENCH_QUERIES = ["pricing_summary", "events_by_type", "top_recent_events",
                  "heavy_hitter_terms", "inverted_index",
                  "doc_chunks", "sequence_packing", "funnel_stages",
                  "orders_bloom_semi_join", "domain_quota_sample",
-                 "split_assignment"]
+                 "split_assignment", "bigram_perplexity", "logreg_train"]
 
 
 def _generate_corpus(n_docs: int, out_dir: str) -> None:

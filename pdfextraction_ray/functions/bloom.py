@@ -38,7 +38,10 @@ def _as_u64(keys) -> np.ndarray:
     keys = np.asarray(keys)
     if np.issubdtype(keys.dtype, np.integer):
         return keys.astype(np.uint64, copy=False)
-    return pd.util.hash_array(keys.astype(object))
+    # categorize=False: the categorize fast path mis-hashes NUL-containing
+    # strings inconsistently across arrays (pandas 2.2.2), and bloom build
+    # and probe hash different arrays by construction.
+    return pd.util.hash_array(keys.astype(object), categorize=False)
 
 
 def bloom_params(n_capacity: int, fp_rate: float = 0.01) -> tuple[int, int]:

@@ -39,7 +39,12 @@ def _bucket_of(arr: pa.ChunkedArray | pa.Array, n_buckets: int) -> np.ndarray:
         h = np_arr.astype(np.uint64, copy=False) * _KNUTH
         h ^= h >> np.uint64(32)
     else:
-        h = pd.util.hash_array(np_arr.astype(object))
+        # categorize=False is REQUIRED for cross-array consistency: the
+        # categorize fast path mis-hashes strings with embedded NUL bytes
+        # (observed pandas 2.2.2 — the same value hashes differently
+        # depending on the surrounding array), and build/probe sides hash
+        # different arrays by construction.
+        h = pd.util.hash_array(np_arr.astype(object), categorize=False)
     return (h % np.uint64(n_buckets)).astype(np.int64)
 
 

@@ -181,7 +181,10 @@ _CMS_SCHEMA = pa.schema([("d", pa.int64()), ("w", pa.int64()),
 
 def _cms_indices(tokens: np.ndarray) -> np.ndarray:
     """(CMS_DEPTH, len(tokens)) cell indices, deterministic per token."""
-    base = pd.util.hash_array(tokens).astype(np.uint64)
+    # categorize=False for cross-batch consistency (the categorize path
+    # mis-hashes NUL-containing strings; sketch cells must agree between
+    # the build pass and the verify pass regardless of batch contents)
+    base = pd.util.hash_array(tokens, categorize=False).astype(np.uint64)
     rows = [(_splitmix64(base + np.uint64(d)) % np.uint64(CMS_WIDTH))
             .astype(np.int64) for d in range(CMS_DEPTH)]
     return np.stack(rows)

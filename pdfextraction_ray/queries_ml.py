@@ -1,0 +1,244 @@
+"""Round-3 registry extension #6: statistical-model operators — bigram
+language-model perplexity scoring (the CCNet-style model-based quality
+signal) and distributed logistic-regression training over the embeddings
+table (full-batch GD, the supervised counterpart of the k-means loop).
+
+Conventions as in the sibling extension modules. The LM scorer is
+ANSI-SQL-expressible and carries a DuckDB oracle; logistic regression is
+iterative (not SQL) and is pinned-golden like kmeans_clusters.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Callable
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data as rd
+from ray.data.aggregate import Sum
+
+from .functions.joins import bucketed_join
+from .queries_curation import _flatten_tokens, _roundf
+
+
+def _p(sf_dir: str, table: str) -> str:
+    return os.path.join(sf_dir, f"{table}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# bigram LM perplexity: score every document by the average negative log
+# probability of its bigrams under the corpus MLE with add-one smoothing,
+# P(w2|w1) = (c(w1,w2)+1) / (c(w1,*)+V).
+#
+# Three streaming stages, none of which broadcasts the model whole:
+#   1. model fit — per-batch (w1,w2,c) partial counts (pandas groupby inside
+#      the batch) -> one bigram-vocabulary-sized groupby; the unigram
+#      context counts derive from the bigram table, V from a distinct-token
+#      aggregate.
+#   2. scoring — docs re-stream, explode to (doc_id, w1, w2) pairs, and the
+#      model attaches via the mid-size BUCKETED map-side join (keyed on the
+#      composite "w1\\0w2" and on w1): each probe batch fetches only the
+#      model buckets its keys hash to. At 100 TB the bigram table is far
+#      beyond broadcast budget but orders of magnitude smaller than the
+#      corpus — exactly the regime functions/joins.py exists for.
+#   3. reduce — per-batch partial (doc_id, sum_lp, n) sums, then a
+#      |docs|-sized groupby and an output-sized finish.
+# ---------------------------------------------------------------------------
+
+_SEP = "\x00"  # never appears in whitespace-split tokens
+
+
+def _bigrams(t: pa.Table) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(doc_id, w1, w2) arrays for all intra-document bigrams in the batch."""
+    parent, vals = _flatten_tokens(t)
+    ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+    if len(vals) < 2:
+        e = np.array([], dtype=object)
+        return np.array([], dtype=np.int64), e, e
+    same = parent[1:] == parent[:-1]
+    return ids[parent[:-1][same]], vals[:-1][same], vals[1:][same]
+
+
+def q_bigram_perplexity(sf_dir: str) -> pa.Table:
+    docs_path = _p(sf_dir, "documents")
+    docs = rd.read_parquet(docs_path, columns=["doc_id", "text"])
+
+    # -- stage 1: fit. Per-batch partial bigram counts, then one
+    # bigram-vocab-sized shuffle (the model is output-sized, not corpus-sized)
+    def pair_partial(t: pa.Table) -> pa.Table:
+        _ids, w1, w2 = _bigrams(t)
+        df = pd.DataFrame({"w1": w1, "w2": w2})
+        g = df.groupby(["w1", "w2"], sort=False).size().reset_index(name="c")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    big_ds = docs.map_batches(pair_partial, batch_format="pyarrow") \
+        .groupby(["w1", "w2"]).aggregate(Sum("c", alias_name="c"))
+    big = pa.Table.from_pandas(big_ds.to_pandas(), preserve_index=False)
+    big = big.append_column("bkey", pa.array(
+        [f"{a}{_SEP}{b}" for a, b in zip(big.column("w1").to_pylist(),
+                                         big.column("w2").to_pylist())]))
+    uni = big.to_pandas().groupby("w1", sort=False)["c"].sum() \
+        .reset_index(name="c1")
+    uni = pa.Table.from_pandas(uni, preserve_index=False)
+
+    def tok_partial(t: pa.Table) -> pa.Table:
+        _parent, vals = _flatten_tokens(t)
+        return pa.table({"token": pa.array(np.unique(vals))})
+
+    n_vocab = docs.map_batches(tok_partial, batch_format="pyarrow") \
+        .groupby("token").count().count()
+
+    # -- stage 2: score. Docs explode to pairs; the model attaches via the
+    # bucketed map-side join (no shuffle of the pair stream)
+    def explode(t: pa.Table) -> pa.Table:
+        ids, w1, w2 = _bigrams(t)
+        bkey = [f"{a}{_SEP}{b}" for a, b in zip(w1, w2)]
+        return pa.table({"doc_id": pa.array(ids),
+                         "w1": pa.array(w1.astype(object), pa.string()),
+                         "bkey": pa.array(bkey, pa.string())})
+
+    pairs = docs.map_batches(explode, batch_format="pyarrow")
+    scored = bucketed_join(pairs, big.select(["bkey", "c"]),
+                           probe_key="bkey", build_key="bkey",
+                           value_cols=["c"], join_type="inner")
+    scored = bucketed_join(scored, uni, probe_key="w1", build_key="w1",
+                           value_cols=["c1"], join_type="inner")
+
+    # -- stage 3: reduce to per-doc sums, then an output-sized finish
+    def lp_partial(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        c = t.column("c").to_numpy(zero_copy_only=False).astype(np.float64)
+        c1 = t.column("c1").to_numpy(zero_copy_only=False).astype(np.float64)
+        lp = np.log((c + 1.0) / (c1 + float(n_vocab)))
+        codes, uniq = pd.factorize(ids)
+        return pa.table({
+            "doc_id": pa.array(uniq),
+            "s": pa.array(np.bincount(codes, weights=lp,
+                                      minlength=len(uniq))),
+            "n_bigrams": pa.array(np.bincount(codes, minlength=len(uniq))
+                                  .astype(np.int64))})
+
+    agg = scored.map_batches(lp_partial, batch_format="pyarrow") \
+        .groupby("doc_id").aggregate(Sum("s", alias_name="s"),
+                                     Sum("n_bigrams",
+                                         alias_name="n_bigrams"))
+
+    def finish(t: pa.Table) -> pa.Table:
+        s = t.column("s").to_numpy(zero_copy_only=False)
+        n = t.column("n_bigrams").to_numpy(zero_copy_only=False)
+        out = pa.table({"doc_id": t["doc_id"], "n_bigrams": t["n_bigrams"],
+                        "nll": pa.array(-s / n)})
+        return _roundf(out, ["nll"])
+
+    out = agg.map_batches(finish, batch_format="pyarrow")
+    t = pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+    return t.sort_by([("doc_id", "ascending")])
+
+
+SQL_BIGRAM_PERPLEXITY = """
+WITH toks AS (SELECT doc_id,
+                     list_filter(string_split(text, ' '), x -> x <> '') AS t
+              FROM documents),
+pairs AS (SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+          FROM toks, unnest(generate_series(1, len(t) - 1)) AS g(i)
+          WHERE len(t) > 1),
+big AS (SELECT w1, w2, count(*) AS c FROM pairs GROUP BY w1, w2),
+uni AS (SELECT w1, count(*) AS c1 FROM pairs GROUP BY w1),
+vv AS (SELECT count(DISTINCT x) AS v FROM (SELECT unnest(t) AS x FROM toks)),
+scored AS (SELECT p.doc_id,
+                  ln((b.c + 1.0) / (u.c1 + vv.v)) AS lp
+           FROM pairs p JOIN big b USING (w1, w2) JOIN uni u USING (w1)
+                CROSS JOIN vv)
+SELECT doc_id, count(*) AS n_bigrams,
+       CAST(round(-avg(lp), 4) AS REAL) AS nll
+FROM scored GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# distributed logistic regression (one-vs-rest on label == POSITIVE_LABEL):
+# full-batch gradient descent where each epoch is ONE streaming pass of
+# per-block partial (gradient, loss, accuracy) sums over pinned block refs
+# (the kmeans_clusters harness shape). Partials merge in a fixed order
+# (sorted by block-min vec_id) so float accumulation — and the golden — is
+# reproducible under Ray's unordered task completion. The driver holds only
+# (dim+1)-sized state; no task ever sees more than its own block.
+# ---------------------------------------------------------------------------
+
+LOGREG_POSITIVE_LABEL = 0
+LOGREG_EPOCHS = 10
+LOGREG_LR = 1.0
+
+
+@ray.remote
+def _logreg_block_partial(block: pa.Table, wb, positive: int):
+    from .queries_curation import _emb_matrix
+    mat = _emb_matrix(block.column("embedding")).astype(np.float64)
+    if not mat.size:
+        return None
+    ids = block.column("vec_id").to_numpy(zero_copy_only=False)
+    y = (block.column("label").to_numpy(zero_copy_only=False)
+         == positive).astype(np.float64)
+    w, b = wb
+    z = mat @ w + b
+    p = 1.0 / (1.0 + np.exp(-z))
+    resid = p - y
+    grad_w = mat.T @ resid
+    grad_b = resid.sum()
+    eps = 1e-12
+    loss = -(y * np.log(p + eps) + (1 - y) * np.log(1 - p + eps)).sum()
+    correct = int(((p > 0.5) == (y > 0.5)).sum())
+    return int(ids.min()), grad_w, grad_b, loss, correct, len(y)
+
+
+def q_logreg_train(sf_dir: str) -> pa.Table:
+    ds = rd.read_parquet(_p(sf_dir, "embeddings"),
+                         columns=["vec_id", "embedding", "label"]) \
+        .materialize()
+    refs = ds.to_arrow_refs()
+    dim = len(ds.take(1)[0]["embedding"])
+    w, b = np.zeros(dim), 0.0
+    rows = []
+    for it in range(LOGREG_EPOCHS):
+        wb_ref = ray.put((w, b))
+        parts = ray.get([_logreg_block_partial.remote(r, wb_ref,
+                                                      LOGREG_POSITIVE_LABEL)
+                         for r in refs])
+        parts = sorted((p for p in parts if p is not None),
+                       key=lambda p: p[0])
+        gw = np.zeros(dim)
+        gb = loss = 0.0
+        correct = n = 0
+        for _, pgw, pgb, pl, pc, pn in parts:
+            gw += pgw
+            gb += pgb
+            loss += pl
+            correct += pc
+            n += pn
+        rows.append((it, loss / n, correct / n))
+        w -= LOGREG_LR * gw / n
+        b -= LOGREG_LR * gb / n
+    out = pa.table({
+        "iter": pa.array([r[0] for r in rows], pa.int64()),
+        "loss": pa.array([r[1] for r in rows]),
+        "accuracy": pa.array([r[2] for r in rows])})
+    return _roundf(out, ["loss", "accuracy"])
+
+
+# ---------------------------------------------------------------------------
+# registry fragments merged by queries.py
+# ---------------------------------------------------------------------------
+
+ML_QUERIES: dict[str, Callable[[str], Any]] = {
+    "bigram_perplexity": q_bigram_perplexity,
+    "logreg_train": q_logreg_train,
+}
+
+ML_ORACLES: dict[str, str] = {
+    "bigram_perplexity": SQL_BIGRAM_PERPLEXITY,
+}
+
+ML_GOLDEN_QUERIES = ("logreg_train",)

@@ -87,3 +87,21 @@ def test_bucket_hash_identical_across_calls():
     a = _bucket_of(arr, 16)
     b = _bucket_of(pa.array([1, 2, 3, 4, 5], pa.int64()), 16)
     assert list(a) == list(b)
+
+
+def test_string_bucket_consistent_with_nul_bytes(ray_session):
+    """Regression: pandas hash_array's categorize path mis-hashes strings
+    with embedded NUL bytes inconsistently across arrays, which silently
+    dropped matches in inner bucketed joins on composite "a\\0b" keys."""
+    words = ["the", "fast", "key", "the\x00fast", "fast\x00key"]
+    keys = [f"{a}\x00{b}" for a in words for b in words] * 40
+    build = pa.table({"k": sorted(set(keys)),
+                      "v": list(range(len(set(keys))))})
+    buckets_build = _bucket_of(build.column("k"), 64)
+    bmap = dict(zip(build.column("k").to_pylist(), buckets_build))
+    buckets_probe = _bucket_of(pa.array(keys, pa.string()), 64)
+    assert all(bmap[k] == b for k, b in zip(keys, buckets_probe))
+    got = bucketed_join(rd.from_arrow(pa.table({"k": keys})), build,
+                        probe_key="k", build_key="k", join_type="inner",
+                        n_buckets=16)
+    assert got.count() == len(keys)  # every probe key exists in the build

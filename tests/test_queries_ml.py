@@ -1,0 +1,79 @@
+"""Semantic tests for the statistical-model operators (queries_ml.py),
+beyond the oracle value-equality already covered by test_queries_oracle."""
+
+import numpy as np
+import pyarrow.parquet as pq
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_bigram_nll_vs_pure_python(ray_session):
+    """Per-doc NLL must equal a from-scratch single-threaded recomputation
+    of the add-one-smoothed bigram model (sampled docs, exact per-doc)."""
+    from collections import Counter
+
+    from pdfextraction_ray.queries_ml import q_bigram_perplexity
+
+    t = q_bigram_perplexity(SF).to_pandas().set_index("doc_id")
+    docs = pq.read_table(f"{SF}/documents.parquet",
+                         columns=["doc_id", "text"]).to_pandas()
+    toks = {r.doc_id: [x for x in r.text.split(" ") if x]
+            for r in docs.itertuples()}
+    big, uni, vocab = Counter(), Counter(), set()
+    for tk in toks.values():
+        vocab.update(tk)
+        for a, b in zip(tk, tk[1:]):
+            big[(a, b)] += 1
+            uni[a] += 1
+    V = len(vocab)
+    for doc_id in list(toks)[::25]:
+        tk = toks[doc_id]
+        if len(tk) < 2:
+            assert doc_id not in t.index
+            continue
+        lps = [np.log((big[(a, b)] + 1.0) / (uni[a] + V))
+               for a, b in zip(tk, tk[1:])]
+        assert t.loc[doc_id, "n_bigrams"] == len(lps)
+        assert abs(t.loc[doc_id, "nll"] - round(-np.mean(lps), 4)) < 2e-4
+
+
+def test_logreg_converges_and_is_deterministic(ray_session):
+    from pdfextraction_ray.queries_ml import (LOGREG_EPOCHS,
+                                              q_logreg_train)
+
+    fn = getattr(q_logreg_train, "__wrapped__", q_logreg_train)
+    a = fn(SF).to_pandas()
+    assert len(a) == LOGREG_EPOCHS
+    # loss strictly decreases every epoch on this separable-enough data
+    assert (np.diff(a.loss.to_numpy()) < 0).all()
+    # ends above the 0.9-prior baseline start and beats always-negative
+    assert a.accuracy.iloc[-1] >= 0.85
+    b = fn(SF).to_pandas()
+    assert a.equals(b)  # fixed merge order -> bit-identical reruns
+
+
+def test_logreg_matches_single_node_numpy(ray_session):
+    """Distributed full-batch GD must equal the same GD computed on one
+    node with numpy (fixed accumulation order makes this exact to fp noise)."""
+    from pdfextraction_ray.queries_ml import (LOGREG_EPOCHS, LOGREG_LR,
+                                              LOGREG_POSITIVE_LABEL,
+                                              q_logreg_train)
+
+    t = pq.read_table(f"{SF}/embeddings.parquet").to_pandas() \
+        .sort_values("vec_id")
+    X = np.stack(t.embedding.to_numpy()).astype(np.float64)
+    y = (t.label.to_numpy() == LOGREG_POSITIVE_LABEL).astype(np.float64)
+    w, b = np.zeros(X.shape[1]), 0.0
+    losses, accs = [], []
+    for _ in range(LOGREG_EPOCHS):
+        p = 1.0 / (1.0 + np.exp(-(X @ w + b)))
+        eps = 1e-12
+        losses.append(float(-(y * np.log(p + eps)
+                              + (1 - y) * np.log(1 - p + eps)).mean()))
+        accs.append(float(((p > 0.5) == (y > 0.5)).mean()))
+        w -= LOGREG_LR * (X.T @ (p - y)) / len(y)
+        b -= LOGREG_LR * (p - y).mean()
+    fn = getattr(q_logreg_train, "__wrapped__", q_logreg_train)
+    got = fn(SF).to_pandas()
+    assert np.allclose(got.loss, np.round(losses, 4), atol=2e-4)
+    assert np.allclose(got.accuracy, np.round(accs, 4), atol=2e-4)

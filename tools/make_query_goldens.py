@@ -33,6 +33,7 @@ GOLDEN_QUERIES = [
     "embedding_ann_ivf",
     "kmeans_clusters",
     "approx_distinct_users",
+    "logreg_train",
 ]
 
 OUT_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
