@@ -1,0 +1,112 @@
+"""Training-set preparation: one composed streaming graph from a raw
+documents table to sharded, split-partitioned chunk parquet — the
+quality -> dedup -> split -> chunk path a pre-training data job runs,
+assembled from this engine's pieces.
+
+Scale shape (each stage keeps the 100-TB discipline of its standalone
+operator):
+  1. quality filter — per-batch vectorized kernels (functions/text).
+  2. exact dedup — NARROW: only (text_hash, doc_id) shuffles (the winner per
+     hash is min doc_id); text never moves. Winners come back as a keys-only
+     table and re-attach to the full stream via the bucketed map-side
+     semi-join (functions/joins) — no broadcast of a corpus-sized id set, no
+     second wide shuffle.
+  3. split assignment — domain-hash train/val/test (queries_scale._split_of),
+     hashed once per UNIQUE source per batch.
+  4. chunking — sliding token windows (queries_training constants), 1->N
+     flat-map, output-sized inner work only.
+  5. sink — parquet partitioned by split (one directory per split,
+     many shards each), so a resumable re-run can skip finished partitions.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Optional
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..functions import dedup as D
+from ..functions import text as TX
+from ..functions.joins import bucketed_join
+from ..queries_curation import _flatten_tokens
+from ..queries_scale import _split_of
+from ..queries_training import CHUNK_STRIDE, CHUNK_WINDOW
+
+
+def _quality(t: pa.Table, min_tokens: int) -> pa.Table:
+    t = TX.quality_columns(t)
+    keep = pc.and_(
+        pc.greater_equal(t["n_tokens"], pa.scalar(min_tokens, pa.int64())),
+        pc.less_equal(pc.multiply(t["n_punct"], pa.scalar(10, pa.int64())),
+                      t["n_chars_utf8"]))
+    return t.filter(keep)
+
+
+def _chunk_batch(t: pa.Table) -> pa.Table:
+    parent, vals = _flatten_tokens(t)
+    doc_ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+    splits = t.column("split").to_numpy(zero_copy_only=False)
+    lens = np.bincount(parent, minlength=len(t))
+    starts = np.concatenate([[0], np.cumsum(lens)])
+    out_doc, out_chunk, out_n, out_text, out_split = [], [], [], [], []
+    for i in range(len(t)):
+        toks = vals[starts[i]:starts[i + 1]]
+        if not len(toks):
+            continue
+        for c in range((len(toks) - 1) // CHUNK_STRIDE + 1):
+            piece = toks[c * CHUNK_STRIDE:c * CHUNK_STRIDE + CHUNK_WINDOW]
+            out_doc.append(doc_ids[i])
+            out_chunk.append(c)
+            out_n.append(len(piece))
+            out_text.append(" ".join(piece))
+            out_split.append(splits[i])
+    return pa.table({"doc_id": pa.array(out_doc, pa.int64()),
+                     "chunk_id": pa.array(out_chunk, pa.int64()),
+                     "n_tokens": pa.array(out_n, pa.int64()),
+                     "chunk_text": pa.array(out_text, pa.string()),
+                     "split": pa.array(out_split, pa.string())})
+
+
+def training_prep(ds: "Any", out_dir: Optional[str] = None, *,
+                  min_tokens: int = 50, n_buckets: int = 64) -> "Any":
+    """documents(doc_id, source, text) -> Dataset of split-labeled chunks
+    (doc_id, chunk_id, n_tokens, chunk_text, split). If ``out_dir`` is
+    given, also writes parquet partitioned by split and returns the
+    (already consumed) dataset."""
+
+    def score(t: pa.Table) -> pa.Table:
+        t = _quality(t, min_tokens)
+        t = D.md5_hex_batch(t)
+        return t.select(["doc_id", "source", "text", "text_hash"])
+
+    scored = ds.map_batches(score, batch_format="pyarrow")
+
+    # narrow dedup: only (text_hash, doc_id) shuffles; winner = min doc_id
+    winners_ds = scored.select_columns(["text_hash", "doc_id"]) \
+        .groupby("text_hash").min("doc_id")
+    winners = pa.Table.from_pandas(winners_ds.to_pandas(),
+                                   preserve_index=False)
+    winners = pa.table({"doc_id": winners.column("min(doc_id)")})
+
+    kept = bucketed_join(scored.select_columns(["doc_id", "source", "text"]),
+                         winners, probe_key="doc_id", build_key="doc_id",
+                         value_cols=[], join_type="inner",
+                         n_buckets=n_buckets)
+
+    def assign_split(t: pa.Table) -> pa.Table:
+        codes, uniq = pd.factorize(
+            t.column("source").to_numpy(zero_copy_only=False))
+        per_src = np.array([_split_of(s) for s in uniq], dtype=object)
+        return t.append_column(
+            "split", pa.array(per_src[codes] if len(t) else [], pa.string()))
+
+    chunks = kept.map_batches(assign_split, batch_format="pyarrow") \
+        .map_batches(_chunk_batch, batch_format="pyarrow")
+    if out_dir is not None:
+        os.makedirs(out_dir, exist_ok=True)
+        chunks.write_parquet(out_dir, partition_cols=["split"])
+    return chunks

@@ -16,6 +16,7 @@ from typing import Any, Callable
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray
 import ray.data as rd
 from ray.data.aggregate import Sum
@@ -77,9 +78,8 @@ def q_bigram_perplexity(sf_dir: str) -> pa.Table:
     big_ds = docs.map_batches(pair_partial, batch_format="pyarrow") \
         .groupby(["w1", "w2"]).aggregate(Sum("c", alias_name="c"))
     big = pa.Table.from_pandas(big_ds.to_pandas(), preserve_index=False)
-    big = big.append_column("bkey", pa.array(
-        [f"{a}{_SEP}{b}" for a, b in zip(big.column("w1").to_pylist(),
-                                         big.column("w2").to_pylist())]))
+    big = big.append_column("bkey", pc.binary_join_element_wise(
+        big.column("w1"), big.column("w2"), _SEP))
     uni = big.to_pandas().groupby("w1", sort=False)["c"].sum() \
         .reset_index(name="c1")
     uni = pa.Table.from_pandas(uni, preserve_index=False)
@@ -95,10 +95,10 @@ def q_bigram_perplexity(sf_dir: str) -> pa.Table:
     # bucketed map-side join (no shuffle of the pair stream)
     def explode(t: pa.Table) -> pa.Table:
         ids, w1, w2 = _bigrams(t)
-        bkey = [f"{a}{_SEP}{b}" for a, b in zip(w1, w2)]
-        return pa.table({"doc_id": pa.array(ids),
-                         "w1": pa.array(w1.astype(object), pa.string()),
-                         "bkey": pa.array(bkey, pa.string())})
+        w1a = pa.array(w1, pa.string())
+        bkey = pc.binary_join_element_wise(
+            w1a, pa.array(w2, pa.string()), _SEP)
+        return pa.table({"doc_id": pa.array(ids), "w1": w1a, "bkey": bkey})
 
     pairs = docs.map_batches(explode, batch_format="pyarrow")
     scored = bucketed_join(pairs, big.select(["bkey", "c"]),

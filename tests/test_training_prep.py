@@ -1,0 +1,62 @@
+"""End-to-end training-prep pipeline: curate -> narrow dedup -> split ->
+chunk -> partitioned parquet sink."""
+
+import glob
+import hashlib
+import shutil
+
+import numpy as np
+import pyarrow.parquet as pq
+
+SF = "/root/testdata/sf0.001"
+OUT = "/tmp/pdfextraction_ray_test_training_prep"
+
+
+def _expected_winners(min_tokens=50):
+    """Pure-pandas replay of quality filter + min-doc_id-per-text dedup."""
+    docs = pq.read_table(f"{SF}/documents.parquet").to_pandas()
+    toks = docs.text.str.split(" ").apply(lambda t: [x for x in t if x])
+    n_tokens = toks.apply(len)
+    n_punct = docs.text.str.count(r"[\.,;:!\?]")
+    n_chars = docs.text.str.len()
+    q = docs[(n_tokens >= min_tokens) & (n_punct * 10 <= n_chars)]
+    h = q.text.map(lambda s: hashlib.md5(s.encode()).hexdigest())
+    return set(q.assign(h=h).groupby("h").doc_id.min())
+
+
+def test_training_prep_end_to_end(ray_session):
+    import ray.data as rd
+
+    from pdfextraction_ray.pipelines.training_prep import training_prep
+    from pdfextraction_ray.queries_scale import _split_of
+    from pdfextraction_ray.queries_training import CHUNK_STRIDE, CHUNK_WINDOW
+
+    shutil.rmtree(OUT, ignore_errors=True)
+    ds = rd.read_parquet(f"{SF}/documents.parquet",
+                         columns=["doc_id", "source", "text"])
+    training_prep(ds, OUT)
+
+    files = glob.glob(f"{OUT}/split=*/*.parquet")
+    assert {p.split("split=")[1].split("/")[0] for p in files} \
+        == {"train", "val", "test"}
+    out = pq.read_table(f"{OUT}").to_pandas()
+
+    winners = _expected_winners()
+    assert set(out.doc_id) == winners
+
+    docs = pq.read_table(f"{SF}/documents.parquet").to_pandas() \
+        .set_index("doc_id")
+    # split column matches the domain hash for every chunk
+    for doc_id, g in out.groupby("doc_id"):
+        assert set(g.split) == {_split_of(docs.loc[doc_id, "source"])}
+        toks = [x for x in docs.loc[doc_id, "text"].split(" ") if x]
+        assert list(np.sort(g.chunk_id.to_numpy())) \
+            == list(range((len(toks) - 1) // CHUNK_STRIDE + 1))
+    # chunk text reconstructs the token stream (sampled)
+    s = out.sample(25, random_state=1)
+    for row in s.itertuples():
+        toks = [x for x in docs.loc[row.doc_id, "text"].split(" ") if x]
+        want = toks[row.chunk_id * CHUNK_STRIDE:
+                    row.chunk_id * CHUNK_STRIDE + CHUNK_WINDOW]
+        assert row.chunk_text == " ".join(want)
+    shutil.rmtree(OUT, ignore_errors=True)
