@@ -4,6 +4,7 @@ Commands:
   run      resumable flagship extraction over a corpus directory
   full     composed job (parse -> dedup -> histogram) without checkpoints
   gen      generate a deterministic synthetic corpus (FIXTURES.md F1)
+  prep     training-set prep: curate -> dedup -> split -> chunk -> parquet
   stats    print per-stage ds.stats() for a pipeline run (tuning aid)
 
 Owns the Ray session (scripts do; library code never does).
@@ -50,6 +51,12 @@ def main(argv: list[str] | None = None) -> int:
     p_gen.add_argument("--seed", type=int, default=42)
     p_gen.add_argument("--shards", type=int, default=8)
 
+    p_prep = sub.add_parser("prep", help="training-set preparation pipeline")
+    p_prep.add_argument("--input", required=True,
+                        help="documents parquet file or dir")
+    p_prep.add_argument("--out", required=True)
+    p_prep.add_argument("--min-tokens", type=int, default=50)
+
     p_stats = sub.add_parser("stats", help="run pipeline and print ds.stats()")
     p_stats.add_argument("--input", required=True)
 
@@ -83,6 +90,24 @@ def main(argv: list[str] | None = None) -> int:
             summary = run_full_pipeline(paths, args.out, lang=args.lang,
                                         dedup=not args.no_dedup)
             print(json.dumps(summary))
+        elif args.cmd == "prep":
+            import ray.data as rd
+
+            from .pipelines.training_prep import training_prep
+
+            ds = rd.read_parquet(args.input,
+                                 columns=["doc_id", "source", "text"])
+            training_prep(ds, args.out, min_tokens=args.min_tokens)
+            # count from written footers — do NOT re-execute the pipeline
+            import glob
+            import os
+
+            import pyarrow.parquet as pq
+
+            n = sum(pq.read_metadata(p).num_rows for p in
+                    glob.glob(os.path.join(args.out, "**", "*.parquet"),
+                              recursive=True))
+            print(json.dumps({"chunks": n, "out": args.out}))
         elif args.cmd == "stats":
             import glob
             import os
