@@ -43,7 +43,9 @@ BENCH_QUERIES = ["pricing_summary", "events_by_type", "top_recent_events",
                  "heavy_hitter_terms", "inverted_index",
                  "doc_chunks", "sequence_packing", "funnel_stages",
                  "orders_bloom_semi_join", "domain_quota_sample",
-                 "split_assignment", "bigram_perplexity", "logreg_train"]
+                 "split_assignment", "bigram_perplexity", "logreg_train",
+                 "value_change_counts", "weighted_sample",
+                 "dup_ngram_spans", "pagerank"]
 
 
 def _generate_corpus(n_docs: int, out_dir: str) -> None:

@@ -1693,18 +1693,22 @@ from .queries_scale import SCL_ORACLES, SCL_QUERIES  # noqa: E402
 from .queries_ml import (ML_GOLDEN_QUERIES, ML_ORACLES,  # noqa: E402
                          ML_QUERIES)
 
+from .queries_web import WEB_ORACLES, WEB_QUERIES  # noqa: E402
+
 QUERIES.update(EXT_QUERIES)
 QUERIES.update(CUR_QUERIES)
 QUERIES.update(ANA_QUERIES)
 QUERIES.update(TRN_QUERIES)
 QUERIES.update(SCL_QUERIES)
 QUERIES.update(ML_QUERIES)
+QUERIES.update(WEB_QUERIES)
 ORACLES.update(EXT_ORACLES)
 ORACLES.update(CUR_ORACLES)
 ORACLES.update(ANA_ORACLES)
 ORACLES.update(TRN_ORACLES)
 ORACLES.update(SCL_ORACLES)
 ORACLES.update(ML_ORACLES)
+ORACLES.update(WEB_ORACLES)
 GOLDEN_ORACLE_QUERIES = (GOLDEN_ORACLE_QUERIES + tuple(EXT_GOLDEN_QUERIES)
                          + tuple(CUR_GOLDEN_QUERIES)
                          + tuple(ML_GOLDEN_QUERIES))

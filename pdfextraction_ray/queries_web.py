@@ -1,0 +1,376 @@
+"""Round-3 registry extension #2: web-corpus and clickstream operators —
+change detection, weighted sampling, exact duplicated-n-gram span analysis,
+and link-graph PageRank. All four carry ANSI-SQL oracles (window functions /
+unrolled fixed-point CTEs), so the driver hash-checks them end-to-end; none
+needs a pinned golden. (Gap-based sessionization already lives in
+queries.py::q_user_sessions.)
+
+Same conventions as ``queries.py``: column names shared with the oracle,
+float outputs rounded before they leave the pipeline, the only driver
+materializations are broadcast small sides, n-sized narrow state vectors,
+and final results. Must NOT import ``queries`` at top level (queries.py
+imports this module to merge registries).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+from typing import Any, Callable
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+import ray
+import ray.data as rd
+from ray.data.aggregate import Sum
+
+
+def _p(sf_dir: str, table: str) -> str:
+    return os.path.join(sf_dir, f"{table}.parquet")
+
+
+def _ts_i64(col: pa.ChunkedArray) -> np.ndarray:
+    return col.to_numpy(zero_copy_only=False).astype("datetime64[us]").view(np.int64)
+
+
+def _md5_u32(keys) -> np.ndarray:
+    """First 8 hex digits of md5(str(key)) as uint32 — the oracle-parity
+    hash (DuckDB computes the identical value via md5()+hex-cast). Per-row
+    md5 is deliberate here, same rationale as q_stratified_sample: the SQL
+    oracle must reproduce membership bit-for-bit; use the vectorized
+    functions.joins hash when oracle parity is not required."""
+    return np.fromiter(
+        (int(hashlib.md5(str(k).encode()).hexdigest()[:8], 16) for k in keys),
+        dtype=np.uint32, count=len(keys))
+
+
+# ---------------------------------------------------------------------------
+# cross-version change detection: per (user_id, event_type) stream ordered
+# by time, count rows whose value differs from the previous one — the
+# LAG-compare family (crawl-to-crawl page-change detection over url-version
+# chains has exactly this shape: key = url, version = warc_ts, payload =
+# content hash). Co-partition by user_id only (coarser key keeps one wide
+# stage and bounds reducer count by |users|); the per-type segmentation is
+# vectorized in-group.
+# ---------------------------------------------------------------------------
+
+def q_value_change_counts(sf_dir: str) -> pa.Table:
+    ds = rd.read_parquet(
+        _p(sf_dir, "events"),
+        columns=["user_id", "event_type", "ts", "event_id", "value"])
+
+    def changes(g: pa.Table) -> pa.Table:
+        et = g.column("event_type").to_numpy(zero_copy_only=False)
+        ts = _ts_i64(g.column("ts"))
+        eid = g.column("event_id").to_numpy(zero_copy_only=False)
+        val = g.column("value").to_numpy(zero_copy_only=False)
+        codes, uniq = pd.factorize(et, sort=True)
+        order = np.lexsort((eid, ts, codes))  # segment by type, then time
+        c, v = codes[order], val[order]
+        same_seg = np.zeros(len(c), dtype=bool)
+        same_seg[1:] = c[1:] == c[:-1]
+        changed = np.zeros(len(c), dtype=bool)
+        changed[1:] = v[1:] != v[:-1]
+        n_events = np.bincount(c, minlength=len(uniq))
+        n_changes = np.bincount(c[same_seg & changed], minlength=len(uniq))
+        uid = int(g.column("user_id")[0].as_py())
+        return pa.Table.from_pydict({
+            "user_id": pa.array(np.full(len(uniq), uid), pa.int64()),
+            "event_type": pa.array(uniq, pa.string()),
+            "n_events": pa.array(n_events, pa.int64()),
+            "n_changes": pa.array(n_changes, pa.int64())})
+
+    out = ds.groupby("user_id").map_groups(changes, batch_format="pyarrow")
+    t = pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+    return t.sort_by([("user_id", "ascending"), ("event_type", "ascending")])
+
+
+SQL_VALUE_CHANGE_COUNTS = """
+WITH l AS (
+  SELECT user_id, event_type, value,
+         lag(value) OVER (PARTITION BY user_id, event_type
+                          ORDER BY ts, event_id) AS pv
+  FROM events)
+SELECT user_id, event_type, count(*) AS n_events,
+       count(*) FILTER (WHERE pv IS NOT NULL AND value <> pv) AS n_changes
+FROM l GROUP BY user_id, event_type ORDER BY user_id, event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# weighted sampling without replacement (Efraimidis-Spirakis A-Res): each doc
+# draws a deterministic uniform u from md5(doc_id), priority = -ln(u)/weight
+# (weight = n_chars: longer docs proportionally likelier), global K smallest
+# priorities win. Distributed shape: per-batch partial top-K (each batch
+# collapses to <=K rows before anything moves), single driver merge of
+# O(K x batches) rows — the brute_force_topk pattern. Deterministic and
+# engine-reproducible, hence the SQL oracle.
+# ---------------------------------------------------------------------------
+
+WEIGHTED_SAMPLE_K = 100
+
+
+def q_weighted_sample(sf_dir: str, k: int = WEIGHTED_SAMPLE_K) -> pa.Table:
+    ds = rd.read_parquet(_p(sf_dir, "documents"),
+                         columns=["doc_id", "n_chars"])
+
+    def partial_topk(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        w = t.column("n_chars").to_numpy(zero_copy_only=False).astype(np.float64)
+        u = (_md5_u32(ids).astype(np.float64) + 0.5) / 4294967296.0
+        pri = -np.log(u) / w
+        order = np.lexsort((ids, pri))[:k]
+        return pa.Table.from_pydict({
+            "doc_id": pa.array(ids[order], pa.int64()),
+            "n_chars": pa.array(t.column("n_chars").to_numpy(
+                zero_copy_only=False)[order], pa.int64()),
+            "pri": pa.array(pri[order], pa.float64())})
+
+    parts = ds.map_batches(partial_topk, batch_format="pyarrow")
+    t = pa.Table.from_pandas(parts.to_pandas(), preserve_index=False)
+    ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+    pri = t.column("pri").to_numpy(zero_copy_only=False)
+    keep = np.lexsort((ids, pri))[:k]
+    out = t.take(pa.array(np.sort(keep)))
+    return out.select(["doc_id", "n_chars"]).sort_by([("doc_id", "ascending")])
+
+
+SQL_WEIGHTED_SAMPLE = """
+SELECT doc_id, n_chars FROM (
+  SELECT doc_id, n_chars,
+         -ln((CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+              AS UBIGINT) + 0.5) / 4294967296.0) / n_chars AS pri
+  FROM documents
+  ORDER BY pri, doc_id LIMIT 100)
+ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# duplicated-n-gram span analysis (exact substring-level dedup signal, the
+# Lee-et-al "Deduplicating Training Data" shape): for every doc, the count
+# of 8-token sliding windows whose exact text occurs in >=2 distinct docs.
+# Two streaming passes, fully vectorized:
+#   pass 1  window-hash every doc (flat polynomial combine over token
+#           hashes — no per-row Python loop), collapse to per-batch UNIQUE
+#           (gram, doc)->(gram, n_docs_partial) partials, groupby gram,
+#           keep grams with >=2 distinct docs;
+#   pass 2  broadcast the dup-gram set (ray.put, sorted u64; bounded by
+#           repeated content, not corpus size — route through
+#           functions.bloom + bucketed verify if it ever exceeds the
+#           broadcast budget), re-hash and count member positions per doc.
+# The Ray side matches grams by 64-bit hash where the SQL oracle compares
+# exact strings; a cross-doc hash collision would diverge them with
+# probability ~ (#grams)^2 / 2^64 — negligible and accepted.
+# ---------------------------------------------------------------------------
+
+NGRAM_W = 8
+_POLY = np.uint64(1099511628211)  # FNV prime as the positional multiplier
+
+
+def _window_hashes(texts: pa.ChunkedArray):
+    """(flat window-hash array, per-doc window counts). Docs with fewer
+    than NGRAM_W tokens contribute zero windows."""
+    toks = pc.split_pattern(texts, " ")
+    flat = pc.list_flatten(toks).to_numpy(zero_copy_only=False)
+    lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False).astype(np.int64)
+    th = pd.util.hash_array(flat, categorize=False)  # stable u64 per token
+    n_win = np.maximum(lens - NGRAM_W + 1, 0)
+    if len(th) < NGRAM_W or n_win.sum() == 0:
+        return np.empty(0, np.uint64), n_win
+    # flat polynomial window combine: h_i = sum_j th[i+j] * POLY^j (mod 2^64
+    # by design — uint64 wraparound IS the modulus)
+    m = len(th) - NGRAM_W + 1
+    h = np.zeros(m, dtype=np.uint64)
+    mult = np.uint64(1)
+    with np.errstate(over="ignore"):
+        for j in range(NGRAM_W):
+            h += th[j:j + m] * mult
+            mult = mult * _POLY
+    # keep only windows that do not cross a doc boundary
+    starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+    valid = np.repeat(starts[n_win > 0],
+                      n_win[n_win > 0]) + _ranges(n_win[n_win > 0])
+    return h[valid], n_win
+
+
+def _ranges(counts: np.ndarray) -> np.ndarray:
+    """[0..c0-1, 0..c1-1, ...] without a Python loop."""
+    total = int(counts.sum())
+    out = np.arange(total, dtype=np.int64)
+    offsets = np.repeat(np.concatenate(([0], np.cumsum(counts)[:-1])), counts)
+    return out - offsets
+
+
+def q_dup_ngram_spans(sf_dir: str) -> pa.Table:
+    path = _p(sf_dir, "documents")
+
+    def gram_doc_partial(t: pa.Table) -> pa.Table:
+        h, n_win = _window_hashes(t.column("text"))
+        doc = np.repeat(t.column("doc_id").to_numpy(zero_copy_only=False),
+                        n_win)
+        uniq = np.unique(np.stack([h.view(np.int64), doc], axis=1), axis=0)
+        g = pa.table({"gram": pa.array(uniq[:, 0], pa.int64())}) \
+            .group_by("gram").aggregate([("gram", "count")])
+        g = g.select(["gram", "gram_count"])
+        return g.rename_columns(["gram", "n"])
+
+    partials = rd.read_parquet(path, columns=["doc_id", "text"]) \
+        .map_batches(gram_doc_partial, batch_format="pyarrow")
+    counts = partials.groupby("gram").aggregate(Sum("n", alias_name="n"))
+    dup = counts.filter(expr="n >= 2")
+    dup_t = pa.Table.from_pandas(dup.to_pandas(), preserve_index=False)
+    dup_ref = ray.put(np.sort(dup_t.column("gram").to_numpy(
+        zero_copy_only=False).astype(np.int64)))
+
+    def count_dup(t: pa.Table) -> pa.Table:
+        dup_sorted = ray.get(dup_ref)
+        h, n_win = _window_hashes(t.column("text"))
+        hs = h.view(np.int64)
+        idx = np.searchsorted(dup_sorted, hs)
+        idx[idx >= len(dup_sorted)] = max(len(dup_sorted) - 1, 0)
+        member = (dup_sorted[idx] == hs) if len(dup_sorted) else \
+            np.zeros(len(hs), dtype=bool)
+        doc_of = np.repeat(np.arange(len(t)), n_win)
+        n_dup = np.bincount(doc_of[member], minlength=len(t))
+        keep = n_win > 0
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        return pa.Table.from_pydict({
+            "doc_id": pa.array(ids[keep], pa.int64()),
+            "n_windows": pa.array(n_win[keep], pa.int64()),
+            "n_dup": pa.array(n_dup[keep], pa.int64())})
+
+    out = rd.read_parquet(path, columns=["doc_id", "text"]) \
+        .map_batches(count_dup, batch_format="pyarrow")
+    t = pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+    return t.sort_by([("doc_id", "ascending")])
+
+
+SQL_DUP_NGRAM_SPANS = """
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+ grams AS (
+  SELECT doc_id, array_to_string(tk[i:i+7], ' ') AS g
+  FROM toks, UNNEST(range(1, len(tk) - 6)) AS t(i)
+  WHERE len(tk) >= 8),
+ dup AS (
+  SELECT g FROM grams GROUP BY g HAVING count(DISTINCT doc_id) >= 2)
+SELECT doc_id, count(*) AS n_windows,
+       count(*) FILTER (WHERE g IN (SELECT g FROM dup)) AS n_dup
+FROM grams GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# link-graph PageRank (5 damped iterations, d=0.85): the iterative graph
+# family over a deterministically synthesized link graph — every doc links
+# to 3 md5-derived targets (contiguous doc_ids, so the SQL oracle generates
+# the identical edges). Distributed shape per iteration: the edge dataset
+# streams once; rank[src] resolves by broadcast array indexing (ray.put,
+# zero-copy readers — the contiguous-id fast path; functions.joins.
+# bucketed_join is the general-key path); per-batch (dst, contrib) partials
+# collapse via pyarrow group_by BEFORE the global groupby, so the wide
+# stage moves ~|dst-per-batch| rows. Rank state is a narrow n-sized vector
+# (8 B/doc) — the same mid-size regime the bucketed join's build side
+# accepts; past ~10^8 docs the per-iteration reduce becomes Dataset.join.
+# Edges materialize once and are re-streamed per iteration.
+# ---------------------------------------------------------------------------
+
+PAGERANK_ITERS = 5
+PAGERANK_D = 0.85
+PAGERANK_FANOUT = 3
+
+
+def q_pagerank(sf_dir: str) -> pa.Table:
+    path = _p(sf_dir, "documents")
+    n = pq.read_metadata(path).num_rows
+
+    def gen_edges(t: pa.Table) -> pa.Table:
+        src = np.repeat(t.column("doc_id").to_numpy(zero_copy_only=False),
+                        PAGERANK_FANOUT)
+        j = np.tile(np.arange(PAGERANK_FANOUT, dtype=np.int64), len(t))
+        dst = (_md5_u32(src * PAGERANK_FANOUT + j).astype(np.int64)) % n
+        return pa.Table.from_pydict({
+            "src": pa.array(src, pa.int64()),
+            "dst": pa.array(dst, pa.int64())})
+
+    edges = rd.read_parquet(path, columns=["doc_id"]) \
+        .map_batches(gen_edges, batch_format="pyarrow").materialize()
+
+    rank = np.full(n, 1.0 / n, dtype=np.float64)
+    for _ in range(PAGERANK_ITERS):
+        rank_ref = ray.put(rank)
+
+        def contrib(t: pa.Table, _ref=rank_ref) -> pa.Table:
+            r = ray.get(_ref)
+            src = t.column("src").to_numpy(zero_copy_only=False)
+            dst = t.column("dst").to_numpy(zero_copy_only=False)
+            c = r[src] / PAGERANK_FANOUT
+            g = pa.table({"dst": pa.array(dst, pa.int64()),
+                          "m": pa.array(c, pa.float64())}) \
+                .group_by("dst").aggregate([("m", "sum")])
+            g = g.select(["dst", "m_sum"])
+            return g.rename_columns(["dst", "m"])
+
+        agg = edges.map_batches(contrib, batch_format="pyarrow") \
+            .groupby("dst").aggregate(Sum("m", alias_name="m"))
+        at = pa.Table.from_pandas(agg.to_pandas(), preserve_index=False)
+        rank = np.full(n, (1.0 - PAGERANK_D) / n, dtype=np.float64)
+        rank[at.column("dst").to_numpy(zero_copy_only=False)] += \
+            PAGERANK_D * at.column("m").to_numpy(zero_copy_only=False)
+
+    ppm = pc.round(pa.array(rank * 1e6, pa.float64()), ndigits=3,
+                   round_mode="half_towards_infinity")
+    return pa.table({"doc_id": pa.array(np.arange(n), pa.int64()),
+                     "rank_ppm": ppm})
+
+
+def _pagerank_sql() -> str:
+    n = "(SELECT count(*) FROM documents)"
+    prev = "r0"
+    iters = []
+    for i in range(1, PAGERANK_ITERS + 1):
+        iters.append(f"""
+ r{i} AS (
+  SELECT d.doc_id,
+         0.15 / {n} + 0.85 * coalesce(s.m, 0) AS r
+  FROM documents d LEFT JOIN (
+    SELECT e.dst AS doc_id, sum({prev}.r) / 3 AS m
+    FROM e JOIN {prev} ON {prev}.doc_id = e.src GROUP BY e.dst) s
+  USING (doc_id))""")
+        prev = f"r{i}"
+    return f"""
+WITH e AS (
+  SELECT doc_id AS src,
+         CAST(CAST(('0x' || substr(md5(CAST(doc_id * 3 + j AS VARCHAR)), 1, 8))
+              AS UBIGINT) % {n} AS BIGINT) AS dst
+  FROM documents, UNNEST([0, 1, 2]) AS t(j)),
+ r0 AS (SELECT doc_id, 1.0 / {n} AS r FROM documents),{','.join(iters)}
+SELECT doc_id, ROUND(r * 1000000, 3) AS rank_ppm
+FROM {prev} ORDER BY doc_id
+"""
+
+
+SQL_PAGERANK = _pagerank_sql()
+
+
+# ---------------------------------------------------------------------------
+# registry fragments merged by queries.py
+# ---------------------------------------------------------------------------
+
+WEB_QUERIES: dict[str, Callable[[str], Any]] = {
+    "value_change_counts": q_value_change_counts,
+    "weighted_sample": q_weighted_sample,
+    "dup_ngram_spans": q_dup_ngram_spans,
+    "pagerank": q_pagerank,
+}
+
+WEB_ORACLES: dict[str, str] = {
+    "value_change_counts": SQL_VALUE_CHANGE_COUNTS,
+    "weighted_sample": SQL_WEIGHTED_SAMPLE,
+    "dup_ngram_spans": SQL_DUP_NGRAM_SPANS,
+    "pagerank": SQL_PAGERANK,
+}

@@ -1,0 +1,87 @@
+"""Semantic tests for the web-corpus / clickstream operators
+(queries_web.py), beyond the oracle value-equality already covered by
+test_queries_oracle's parametrization over the merged registry."""
+
+import numpy as np
+import pyarrow.parquet as pq
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_value_change_counts_bounds(ray_session):
+    from pdfextraction_ray.queries_web import q_value_change_counts
+
+    t = q_value_change_counts(SF).to_pandas()
+    assert (t.n_changes <= t.n_events - 1).all()
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["user_id", "event_type"]).to_pandas()
+    assert len(t) == len(ev.drop_duplicates())
+    assert t.n_events.sum() == len(ev)
+
+
+def test_weighted_sample_favors_heavy_docs(ray_session):
+    """Deterministic across runs; the weighted sample's mean n_chars
+    exceeds the corpus mean (weight = n_chars must bias selection)."""
+    from pdfextraction_ray.queries_web import q_weighted_sample
+
+    a = q_weighted_sample(SF).to_pandas()
+    b = q_weighted_sample(SF).to_pandas()
+    assert a.equals(b)
+    assert len(a) == 100
+    docs = pq.read_table(f"{SF}/documents.parquet",
+                         columns=["n_chars"]).to_pandas()
+    assert a.n_chars.mean() > docs.n_chars.mean()
+
+
+def test_dup_ngram_spans_matches_pure_python(ray_session):
+    """Window counts and duplicated-window counts equal an independent
+    pure-Python string-level recomputation (no hashing)."""
+    from collections import defaultdict
+
+    from pdfextraction_ray.queries_web import NGRAM_W, q_dup_ngram_spans
+
+    t = q_dup_ngram_spans(SF).to_pandas().set_index("doc_id")
+    docs = pq.read_table(f"{SF}/documents.parquet",
+                         columns=["doc_id", "text"]).to_pandas()
+    grams = defaultdict(set)
+    windows = {}
+    for row in docs.itertuples():
+        tk = row.text.split(" ")
+        ws = [" ".join(tk[i:i + NGRAM_W])
+              for i in range(len(tk) - NGRAM_W + 1)]
+        if ws:
+            windows[row.doc_id] = ws
+            for w in set(ws):
+                grams[w].add(row.doc_id)
+    dup = {g for g, ds in grams.items() if len(ds) >= 2}
+    assert set(t.index) == set(windows)
+    for doc_id, ws in windows.items():
+        assert t.loc[doc_id, "n_windows"] == len(ws)
+        assert t.loc[doc_id, "n_dup"] == sum(w in dup for w in ws)
+
+
+def test_pagerank_is_a_distribution(ray_session):
+    """Ranks form a probability distribution (ppm sums to ~1e6) and a
+    power-iteration replay on the same synthesized edges converges to the
+    same vector."""
+    import hashlib
+
+    from pdfextraction_ray.queries_web import (PAGERANK_D, PAGERANK_FANOUT,
+                                               PAGERANK_ITERS, q_pagerank)
+
+    t = q_pagerank(SF).to_pandas()
+    n = len(t)
+    assert abs(t.rank_ppm.sum() - 1e6) < 1.0
+    # replay
+    dst = np.array([
+        int(hashlib.md5(str(s * PAGERANK_FANOUT + j).encode())
+            .hexdigest()[:8], 16) % n
+        for s in range(n) for j in range(PAGERANK_FANOUT)], dtype=np.int64)
+    src = np.repeat(np.arange(n), PAGERANK_FANOUT)
+    r = np.full(n, 1.0 / n)
+    for _ in range(PAGERANK_ITERS):
+        nxt = np.full(n, (1 - PAGERANK_D) / n)
+        np.add.at(nxt, dst, PAGERANK_D * r[src] / PAGERANK_FANOUT)
+        r = nxt
+    assert np.allclose(np.round(r * 1e6, 3), t.rank_ppm.to_numpy(),
+                       atol=2e-3)
