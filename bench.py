@@ -45,7 +45,8 @@ BENCH_QUERIES = ["pricing_summary", "events_by_type", "top_recent_events",
                  "orders_bloom_semi_join", "domain_quota_sample",
                  "split_assignment", "bigram_perplexity", "logreg_train",
                  "value_change_counts", "weighted_sample",
-                 "dup_ngram_spans", "pagerank"]
+                 "dup_ngram_spans", "pagerank", "connected_components",
+                 "value_percentiles_hist"]
 
 
 def _generate_corpus(n_docs: int, out_dir: str) -> None:

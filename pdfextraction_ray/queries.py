@@ -1693,7 +1693,8 @@ from .queries_scale import SCL_ORACLES, SCL_QUERIES  # noqa: E402
 from .queries_ml import (ML_GOLDEN_QUERIES, ML_ORACLES,  # noqa: E402
                          ML_QUERIES)
 
-from .queries_web import WEB_ORACLES, WEB_QUERIES  # noqa: E402
+from .queries_web import (WEB_GOLDEN_QUERIES, WEB_ORACLES,  # noqa: E402
+                          WEB_QUERIES)
 
 QUERIES.update(EXT_QUERIES)
 QUERIES.update(CUR_QUERIES)
@@ -1711,9 +1712,10 @@ ORACLES.update(ML_ORACLES)
 ORACLES.update(WEB_ORACLES)
 GOLDEN_ORACLE_QUERIES = (GOLDEN_ORACLE_QUERIES + tuple(EXT_GOLDEN_QUERIES)
                          + tuple(CUR_GOLDEN_QUERIES)
-                         + tuple(ML_GOLDEN_QUERIES))
+                         + tuple(ML_GOLDEN_QUERIES)
+                         + tuple(WEB_GOLDEN_QUERIES))
 for _name in (tuple(EXT_GOLDEN_QUERIES) + tuple(CUR_GOLDEN_QUERIES)
-              + tuple(ML_GOLDEN_QUERIES)):
+              + tuple(ML_GOLDEN_QUERIES) + tuple(WEB_GOLDEN_QUERIES)):
     ORACLES[_name] = _golden_sql(_name)
     QUERIES[_name] = _golden_guard(_name, QUERIES[_name])
 del _name

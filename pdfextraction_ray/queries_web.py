@@ -1,9 +1,11 @@
-"""Round-3 registry extension #2: web-corpus and clickstream operators —
-change detection, weighted sampling, exact duplicated-n-gram span analysis,
-and link-graph PageRank. All four carry ANSI-SQL oracles (window functions /
-unrolled fixed-point CTEs), so the driver hash-checks them end-to-end; none
-needs a pinned golden. (Gap-based sessionization already lives in
-queries.py::q_user_sessions.)
+"""Round-3 registry extension #2: web-corpus, clickstream and graph
+operators — change detection, weighted sampling, exact duplicated-n-gram
+span analysis, link-graph PageRank, hash-min connected components, and a
+partial-histogram percentile sketch. All but the sketch carry ANSI-SQL
+oracles (window functions / unrolled fixed-point CTEs), so the driver
+hash-checks them end-to-end; the sketch is pinned-golden (partition-
+independent by construction, so the golden is bit-stable). (Gap-based
+sessionization already lives in queries.py::q_user_sessions.)
 
 Same conventions as ``queries.py``: column names shared with the oracle,
 float outputs rounded before they leave the pipeline, the only driver
@@ -25,7 +27,7 @@ import pyarrow.compute as pc
 import pyarrow.parquet as pq
 import ray
 import ray.data as rd
-from ray.data.aggregate import Sum
+from ray.data.aggregate import Min, Sum
 
 
 def _p(sf_dir: str, table: str) -> str:
@@ -358,6 +360,195 @@ SQL_PAGERANK = _pagerank_sql()
 
 
 # ---------------------------------------------------------------------------
+# distributed connected components via hash-min label propagation over a
+# synthesized BLOCK-LOCAL link graph (every doc draws 2 md5-derived edges
+# within its 8-id block, so components are intra-block subgraphs: many
+# components, diameter <= 7 < CC_ROUNDS, guaranteed convergence). Integer
+# labels (min doc_id reachable) make the query EXACT — no float rounding —
+# and the fixed round count unrolls into an ANSI-SQL oracle like the
+# PageRank fixed point (MATERIALIZED CTEs: each round references the
+# previous twice; without the hint DuckDB re-inlines them exponentially).
+# Per round the edge dataset streams once (both directions emitted per
+# batch), labels resolve by broadcast array indexing, per-batch
+# (node, min-label) pyarrow partials collapse before the global
+# groupby-min. Ray early-stops once labels are stable — a fixed point, so
+# identical to running all R rounds; the SQL always runs R. This is the
+# scale path complementing the result-sized driver union-find in
+# q_near_dup_clusters (queries_ext): hash-min touches only n-sized label
+# state, never materializes the edge list on the driver.
+# ---------------------------------------------------------------------------
+
+CC_ROUNDS = 10
+CC_BLOCK = 8
+CC_FANOUT = 2
+
+
+def q_connected_components(sf_dir: str) -> pa.Table:
+    path = _p(sf_dir, "documents")
+    n = pq.read_metadata(path).num_rows
+
+    def gen_edges(t: pa.Table) -> pa.Table:
+        src = np.repeat(t.column("doc_id").to_numpy(zero_copy_only=False),
+                        CC_FANOUT)
+        j = np.tile(np.arange(CC_FANOUT, dtype=np.int64), len(t))
+        dst = (src - src % CC_BLOCK) + \
+            (_md5_u32(src * CC_FANOUT + j).astype(np.int64)) % CC_BLOCK
+        dst = np.minimum(dst, n - 1)  # last partial block stays in range
+        return pa.Table.from_pydict({
+            "src": pa.array(src, pa.int64()),
+            "dst": pa.array(dst, pa.int64())})
+
+    edges = rd.read_parquet(path, columns=["doc_id"]) \
+        .map_batches(gen_edges, batch_format="pyarrow").materialize()
+
+    label = np.arange(n, dtype=np.int64)
+    for _ in range(CC_ROUNDS):
+        label_ref = ray.put(label)
+
+        def neighbor_min(t: pa.Table, _ref=label_ref) -> pa.Table:
+            lab = ray.get(_ref)
+            src = t.column("src").to_numpy(zero_copy_only=False)
+            dst = t.column("dst").to_numpy(zero_copy_only=False)
+            # undirected: each edge offers its source's label to its dst
+            # and its dst's label to its src
+            node = np.concatenate([dst, src])
+            offered = np.concatenate([lab[src], lab[dst]])
+            g = pa.table({"node": pa.array(node, pa.int64()),
+                          "l": pa.array(offered, pa.int64())}) \
+                .group_by("node").aggregate([("l", "min")])
+            g = g.select(["node", "l_min"])
+            return g.rename_columns(["node", "l"])
+
+        agg = edges.map_batches(neighbor_min, batch_format="pyarrow") \
+            .groupby("node").aggregate(Min("l", alias_name="l"))
+        at = pa.Table.from_pandas(agg.to_pandas(), preserve_index=False)
+        nxt = label.copy()
+        node = at.column("node").to_numpy(zero_copy_only=False)
+        offered = at.column("l").to_numpy(zero_copy_only=False)
+        np.minimum.at(nxt, node, offered)
+        if np.array_equal(nxt, label):  # fixed point: rounds R..10 no-op
+            break
+        label = nxt
+
+    return pa.table({"doc_id": pa.array(np.arange(n), pa.int64()),
+                     "component": pa.array(label, pa.int64())})
+
+
+def _cc_sql() -> str:
+    n = "(SELECT count(*) FROM documents)"
+    prev = "l0"
+    rounds = []
+    for i in range(1, CC_ROUNDS + 1):
+        rounds.append(f"""
+ l{i} AS MATERIALIZED (
+  SELECT v.doc_id, least(v.l, coalesce(m.ml, v.l)) AS l
+  FROM {prev} v LEFT JOIN (
+    SELECT s.dst AS doc_id, min({prev}.l) AS ml
+    FROM sym s JOIN {prev} ON {prev}.doc_id = s.src GROUP BY s.dst) m
+  USING (doc_id))""")
+        prev = f"l{i}"
+    return f"""
+WITH e AS MATERIALIZED (
+  SELECT doc_id AS src,
+         least(doc_id - doc_id % {CC_BLOCK}
+               + CAST(CAST(('0x' || substr(md5(CAST(doc_id * {CC_FANOUT} + j
+                     AS VARCHAR)), 1, 8)) AS UBIGINT) % {CC_BLOCK} AS BIGINT),
+               {n} - 1) AS dst
+  FROM documents, UNNEST([0, 1]) AS t(j)),
+ sym AS MATERIALIZED (SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e),
+ l0 AS (SELECT doc_id, doc_id AS l FROM documents),{','.join(rounds)}
+SELECT doc_id, l AS component FROM {prev} ORDER BY doc_id
+"""
+
+
+SQL_CONNECTED_COMPONENTS = _cc_sql()
+
+
+# ---------------------------------------------------------------------------
+# grouped approximate percentiles via a fixed partial-histogram combiner —
+# the sketch companion to queries.q_value_percentiles' rank-exact two-pass.
+# Pass 1: exact per-group min/max (tiny groupby). Pass 2: per-batch
+# (group, bin, n) histogram partials (B=2048 fixed bins over the group's
+# range) collapse via pyarrow group_by before the global groupby-sum; the
+# driver sees |groups| x B counts regardless of corpus size. The sketch is
+# PARTITION-INDEPENDENT (bin counts are associative-commutative integers),
+# so the result is bit-stable across block layouts and CPU counts — safe
+# to pin as a golden. Error <= one bin width of the group's value range
+# (asserted vs the exact path in pytest).
+# ---------------------------------------------------------------------------
+
+HIST_BINS = 2048
+_HIST_PCTS = (50, 90, 99)
+
+
+def q_value_percentiles_hist(sf_dir: str) -> pa.Table:
+    ds = rd.read_parquet(_p(sf_dir, "events"),
+                         columns=["event_type", "value"])
+
+    def minmax_partial(t: pa.Table) -> pa.Table:
+        g = t.group_by("event_type").aggregate(
+            [("value", "min"), ("value", "max")])
+        g = g.select(["event_type", "value_min", "value_max"])
+        return g.rename_columns(["event_type", "lo", "hi"])
+
+    from ray.data.aggregate import Max as _Max, Min as _Min
+    mm = ds.map_batches(minmax_partial, batch_format="pyarrow") \
+        .groupby("event_type").aggregate(_Min("lo", alias_name="lo"),
+                                         _Max("hi", alias_name="hi"))
+    mm_t = pa.Table.from_pandas(mm.to_pandas(), preserve_index=False) \
+        .sort_by([("event_type", "ascending")])
+    types = mm_t.column("event_type").to_pylist()
+    lo = mm_t.column("lo").to_numpy(zero_copy_only=False)
+    hi = mm_t.column("hi").to_numpy(zero_copy_only=False)
+    width = np.where(hi > lo, (hi - lo) / HIST_BINS, 1.0)
+    rng_ref = ray.put((dict(zip(types, range(len(types)))), lo, width))
+
+    def hist_partial(t: pa.Table, _ref=rng_ref) -> pa.Table:
+        t2i, lo_, w_ = ray.get(_ref)
+        et = t.column("event_type").to_numpy(zero_copy_only=False)
+        v = t.column("value").to_numpy(zero_copy_only=False)
+        gi = np.fromiter((t2i[x] for x in et), dtype=np.int64, count=len(et))
+        b = np.clip(((v - lo_[gi]) / w_[gi]).astype(np.int64),
+                    0, HIST_BINS - 1)
+        key = gi * HIST_BINS + b
+        cnt = np.bincount(key)
+        nz = np.flatnonzero(cnt)
+        return pa.Table.from_pydict({
+            "key": pa.array(nz, pa.int64()),
+            "n": pa.array(cnt[nz], pa.int64())})
+
+    agg = ds.map_batches(hist_partial, batch_format="pyarrow") \
+        .groupby("key").aggregate(Sum("n", alias_name="n"))
+    at = pa.Table.from_pandas(agg.to_pandas(), preserve_index=False)
+    key = at.column("key").to_numpy(zero_copy_only=False)
+    cnt = at.column("n").to_numpy(zero_copy_only=False)
+
+    out = {"event_type": types}
+    for p in _HIST_PCTS:
+        out[f"p{p}"] = []
+    for gi, et in enumerate(types):
+        sel = (key // HIST_BINS) == gi
+        bins = key[sel] % HIST_BINS
+        ns = cnt[sel]
+        order = np.argsort(bins)
+        bins, ns = bins[order], ns[order]
+        cum = np.cumsum(ns)
+        total = cum[-1]
+        for p in _HIST_PCTS:
+            target = int(np.ceil(p / 100.0 * total))
+            i = int(np.searchsorted(cum, max(target, 1)))
+            # estimate: left edge + fractional position inside the bin
+            prev_cum = cum[i - 1] if i else 0
+            frac = (max(target, 1) - prev_cum) / ns[i]
+            est = lo[gi] + (bins[i] + frac) * width[gi]
+            out[f"p{p}"].append(round(float(est), 4))
+    return pa.table({
+        "event_type": pa.array(out["event_type"], pa.string()),
+        **{f"p{p}": pa.array(out[f"p{p}"], pa.float64())
+           for p in _HIST_PCTS}})
+
+
+# ---------------------------------------------------------------------------
 # registry fragments merged by queries.py
 # ---------------------------------------------------------------------------
 
@@ -366,6 +557,8 @@ WEB_QUERIES: dict[str, Callable[[str], Any]] = {
     "weighted_sample": q_weighted_sample,
     "dup_ngram_spans": q_dup_ngram_spans,
     "pagerank": q_pagerank,
+    "connected_components": q_connected_components,
+    "value_percentiles_hist": q_value_percentiles_hist,
 }
 
 WEB_ORACLES: dict[str, str] = {
@@ -373,4 +566,8 @@ WEB_ORACLES: dict[str, str] = {
     "weighted_sample": SQL_WEIGHTED_SAMPLE,
     "dup_ngram_spans": SQL_DUP_NGRAM_SPANS,
     "pagerank": SQL_PAGERANK,
+    "connected_components": SQL_CONNECTED_COMPONENTS,
 }
+
+# pinned-golden-backed (histogram-sketch estimates are not SQL-expressible)
+WEB_GOLDEN_QUERIES = ("value_percentiles_hist",)

@@ -85,3 +85,59 @@ def test_pagerank_is_a_distribution(ray_session):
         r = nxt
     assert np.allclose(np.round(r * 1e6, 3), t.rank_ppm.to_numpy(),
                        atol=2e-3)
+
+
+def test_connected_components_vs_numpy_replay(ray_session):
+    """Labels equal a union-find ground truth over the same synthesized
+    block-local edges (the 10-round bound exceeds the block diameter, so
+    hash-min reaches the true fixed point)."""
+    import hashlib
+
+    from pdfextraction_ray.queries_web import (CC_BLOCK, CC_FANOUT,
+                                               q_connected_components)
+
+    t = q_connected_components(SF).to_pandas()
+    n = len(t)
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for s in range(n):
+        for j in range(CC_FANOUT):
+            d = min((s - s % CC_BLOCK)
+                    + int(hashlib.md5(str(s * CC_FANOUT + j).encode())
+                          .hexdigest()[:8], 16) % CC_BLOCK, n - 1)
+            ra, rb = find(s), find(d)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+    truth = [find(x) for x in range(n)]
+    assert list(t.component) == truth
+    assert t.component.nunique() > 1
+
+
+def test_value_percentiles_hist_close_to_exact(ray_session):
+    """Sketch estimates are within one bin width of exact numpy
+    percentiles per group, and deterministic across runs (the golden's
+    bit-stability requirement)."""
+    import pyarrow.parquet as _pq
+
+    from pdfextraction_ray.queries_web import HIST_BINS, q_value_percentiles_hist
+
+    a = q_value_percentiles_hist(SF).to_pandas()
+    b = q_value_percentiles_hist(SF).to_pandas()
+    assert a.equals(b)
+    ev = _pq.read_table(f"{SF}/events.parquet",
+                        columns=["event_type", "value"]).to_pandas()
+    for row in a.itertuples():
+        g = ev[ev.event_type == row.event_type]["value"].to_numpy()
+        width = (g.max() - g.min()) / HIST_BINS
+        for p, est in ((50, row.p50), (90, row.p90), (99, row.p99)):
+            # the sketch's target is the rank-ceil(qN) order statistic, so
+            # compare against the matching inverted-CDF definition
+            exact = np.percentile(g, p, method="inverted_cdf")
+            assert abs(est - exact) <= max(2 * width, 1e-4), \
+                (row.event_type, p)

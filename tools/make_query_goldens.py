@@ -34,6 +34,7 @@ GOLDEN_QUERIES = [
     "kmeans_clusters",
     "approx_distinct_users",
     "logreg_train",
+    "value_percentiles_hist",
 ]
 
 OUT_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
