@@ -46,7 +46,8 @@ BENCH_QUERIES = ["pricing_summary", "events_by_type", "top_recent_events",
                  "split_assignment", "bigram_perplexity", "logreg_train",
                  "value_change_counts", "weighted_sample",
                  "dup_ngram_spans", "pagerank", "connected_components",
-                 "value_percentiles_hist"]
+                 "value_percentiles_hist", "rolling_event_stats",
+                 "corpus_checksum"]
 
 
 def _generate_corpus(n_docs: int, out_dir: str) -> None:

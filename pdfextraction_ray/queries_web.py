@@ -549,6 +549,98 @@ def q_value_percentiles_hist(sf_dir: str) -> pa.Table:
 
 
 # ---------------------------------------------------------------------------
+# bounded window frames: per-event rolling mean of the last 5 values of the
+# SAME user (ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) — the sliding-frame
+# window family, distinct from the unbounded running frames of
+# user_activity_features. Co-partition by user_id, in-group vectorized
+# shifted adds (explicit 5-term sum, no cumsum cancellation). Output is
+# row-per-event (the 1:1 window shape); the only shuffle is the
+# co-partition.
+# ---------------------------------------------------------------------------
+
+ROLL_W = 5
+
+
+def q_rolling_event_stats(sf_dir: str) -> pa.Table:
+    ds = rd.read_parquet(_p(sf_dir, "events"),
+                         columns=["user_id", "ts", "event_id", "value"])
+
+    def roll(g: pa.Table) -> pa.Table:
+        ts = _ts_i64(g.column("ts"))
+        eid = g.column("event_id").to_numpy(zero_copy_only=False)
+        val = g.column("value").to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts))
+        v, e = val[order], eid[order]
+        n = len(v)
+        s = v.copy()
+        for k in range(1, ROLL_W):
+            s[k:] += v[:-k] if k else v
+        cnt = np.minimum(np.arange(n) + 1, ROLL_W).astype(np.float64)
+        rm = pa.array(s / cnt, pa.float64())
+        rm = pc.round(rm, ndigits=4,
+                      round_mode="half_towards_infinity").cast(pa.float32())
+        uid = int(g.column("user_id")[0].as_py())
+        return pa.Table.from_pydict({
+            "event_id": pa.array(e, pa.int64()),
+            "user_id": pa.array(np.full(n, uid), pa.int64()),
+            "roll_mean": rm})
+
+    out = ds.groupby("user_id").map_groups(roll, batch_format="pyarrow")
+    t = pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+    return t.sort_by([("event_id", "ascending")])
+
+
+SQL_ROLLING_EVENT_STATS = """
+SELECT event_id, user_id,
+       CAST(ROUND(avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 4) AS REAL)
+       AS roll_mean
+FROM events ORDER BY event_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# order-independent corpus checksum: one modular row-hash per doc, summed
+# associatively — the cross-engine data-validation primitive (verify a
+# migrated / re-partitioned corpus without sorting or shuffling anything;
+# any engine can recompute it, hence the SQL oracle). Constants are sized
+# so every intermediate fits int64 on both sides (products < 2^46, group
+# sums promoted exactly): no wraparound semantics to disagree about.
+# ---------------------------------------------------------------------------
+
+_CK_A, _CK_B, _CK_P = 31, 131, (1 << 31) - 1
+
+
+def q_corpus_checksum(sf_dir: str) -> pa.Table:
+    ds = rd.read_parquet(_p(sf_dir, "documents"),
+                         columns=["doc_id", "n_chars"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        d = t.column("doc_id").to_numpy(zero_copy_only=False)
+        c = t.column("n_chars").to_numpy(zero_copy_only=False)
+        h = (d * _CK_A + c * _CK_B) % _CK_P
+        return pa.Table.from_pydict({
+            "s": pa.array([int(h.sum() % _CK_P)], pa.int64()),
+            "n": pa.array([len(t)], pa.int64())})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow")
+    t = pa.Table.from_pandas(parts.to_pandas(), preserve_index=False)
+    return pa.table({
+        "checksum": pa.array(
+            [int(t.column("s").to_numpy().sum() % _CK_P)], pa.int64()),
+        "n_rows": pa.array(
+            [int(t.column("n").to_numpy().sum())], pa.int64())})
+
+
+SQL_CORPUS_CHECKSUM = """
+SELECT CAST(SUM((doc_id * 31 + n_chars * 131) % 2147483647)
+            % 2147483647 AS BIGINT) AS checksum,
+       count(*) AS n_rows
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry fragments merged by queries.py
 # ---------------------------------------------------------------------------
 
@@ -559,6 +651,8 @@ WEB_QUERIES: dict[str, Callable[[str], Any]] = {
     "pagerank": q_pagerank,
     "connected_components": q_connected_components,
     "value_percentiles_hist": q_value_percentiles_hist,
+    "rolling_event_stats": q_rolling_event_stats,
+    "corpus_checksum": q_corpus_checksum,
 }
 
 WEB_ORACLES: dict[str, str] = {
@@ -567,6 +661,8 @@ WEB_ORACLES: dict[str, str] = {
     "dup_ngram_spans": SQL_DUP_NGRAM_SPANS,
     "pagerank": SQL_PAGERANK,
     "connected_components": SQL_CONNECTED_COMPONENTS,
+    "rolling_event_stats": SQL_ROLLING_EVENT_STATS,
+    "corpus_checksum": SQL_CORPUS_CHECKSUM,
 }
 
 # pinned-golden-backed (histogram-sketch estimates are not SQL-expressible)

@@ -141,3 +141,46 @@ def test_value_percentiles_hist_close_to_exact(ray_session):
             exact = np.percentile(g, p, method="inverted_cdf")
             assert abs(est - exact) <= max(2 * width, 1e-4), \
                 (row.event_type, p)
+
+
+def test_rolling_event_stats_replay(ray_session):
+    """Rolling means equal a pandas rolling(5, min_periods=1) replay per
+    user (ordered by ts then event_id)."""
+    import pandas as pd
+    import pyarrow.parquet as _pq
+
+    from pdfextraction_ray.queries_web import q_rolling_event_stats
+
+    t = q_rolling_event_stats(SF).to_pandas().set_index("event_id")
+    ev = _pq.read_table(f"{SF}/events.parquet").to_pandas()
+    ev = ev.sort_values(["user_id", "ts", "event_id"], kind="stable")
+    expect = ev.groupby("user_id")["value"] \
+        .rolling(5, min_periods=1).mean().reset_index(level=0, drop=True)
+    got = t.loc[ev.event_id, "roll_mean"].to_numpy()
+    assert np.allclose(got, np.round(expect.to_numpy(), 4), atol=1e-3)
+
+
+def test_corpus_checksum_detects_mutation(ray_session, tmp_path):
+    """The checksum is order-independent (equal for a shuffled copy) but
+    flips when a single row mutates."""
+    import pyarrow.parquet as _pq
+    import pyarrow as _pa
+
+    from pdfextraction_ray.queries_web import q_corpus_checksum
+
+    base = q_corpus_checksum(SF).to_pandas()
+    docs = _pq.read_table(f"{SF}/documents.parquet")
+    shuffled = docs.take(_pa.array(
+        np.random.RandomState(3).permutation(len(docs))))
+    d = tmp_path / "shuf"
+    d.mkdir()
+    _pq.write_table(shuffled, d / "documents.parquet")
+    assert q_corpus_checksum(str(d)).to_pandas().equals(base)
+    mut = docs.set_column(
+        docs.schema.get_field_index("n_chars"), "n_chars",
+        _pa.array(docs.column("n_chars").to_numpy(zero_copy_only=False)
+                  + np.eye(1, len(docs), 0, dtype=np.int64)[0]))
+    d2 = tmp_path / "mut"
+    d2.mkdir()
+    _pq.write_table(mut, d2 / "documents.parquet")
+    assert not q_corpus_checksum(str(d2)).to_pandas().equals(base)
