@@ -193,12 +193,13 @@ FROM events GROUP BY event_type ORDER BY event_type
 # ---------------------------------------------------------------------------
 
 def q_events_window(sf_dir: str) -> pa.Table:
+    # time filter pushed to the SCAN (row-group pruning via parquet stats),
+    # not a post-read map_batches — only in-window rows leave storage
     lo, hi = pd.Timestamp("2024-01-15"), pd.Timestamp("2024-01-22")
-    ds = rd.read_parquet(_p(sf_dir, "events"), columns=["event_type", "ts", "value"])
-    ds = ds.map_batches(
-        lambda t: t.filter(pc.and_(pc.greater_equal(t["ts"], pa.scalar(lo)),
-                                   pc.less(t["ts"], pa.scalar(hi)))),
-        batch_format="pyarrow")
+    ds = rd.read_parquet(
+        _p(sf_dir, "events"), columns=["event_type", "ts", "value"],
+        filter=(pc.field("ts") >= pc.scalar(lo))
+        & (pc.field("ts") < pc.scalar(hi)))
     agg = ds.groupby("event_type").aggregate(
         Count(alias_name="n_events"), Sum("value", alias_name="total_value"))
     t = pa.Table.from_pandas(agg.to_pandas(), preserve_index=False)

@@ -44,13 +44,11 @@ def _ts_i64(col: pa.ChunkedArray) -> np.ndarray:
 # ---------------------------------------------------------------------------
 
 def q_asof_join(sf_dir: str) -> pa.Table:
-    types = pa.array(["purchase", "click"])
+    # type filter pushed to the scan (only purchase/click rows leave storage)
     ds = rd.read_parquet(
         _p(sf_dir, "events"),
-        columns=["event_id", "ts", "user_id", "event_type", "value"]) \
-        .map_batches(lambda t: t.filter(pc.is_in(t["event_type"],
-                                                 value_set=types)),
-                     batch_format="pyarrow")
+        columns=["event_id", "ts", "user_id", "event_type", "value"],
+        filter=pc.field("event_type").isin(["purchase", "click"]))
 
     def asof(g: pa.Table) -> pa.Table:
         et = g.column("event_type").to_numpy(zero_copy_only=False)

@@ -179,14 +179,13 @@ FUNNEL_WINDOW_US = 3 * 86400 * 1_000_000  # each step within 3 days of the last
 
 
 def q_funnel_stages(sf_dir: str) -> pa.Table:
-    types = pa.array(list(FUNNEL_STEPS))
     import pyarrow.compute as pc
 
-    ds = rd.read_parquet(_p(sf_dir, "events"),
-                         columns=["user_id", "ts", "event_type"])
-    kept = ds.map_batches(
-        lambda t: t.filter(pc.is_in(t["event_type"], value_set=types)),
-        batch_format="pyarrow")
+    # stage filter pushed to the scan: non-funnel event types never leave
+    # storage (previously a post-read map_batches filter)
+    kept = rd.read_parquet(
+        _p(sf_dir, "events"), columns=["user_id", "ts", "event_type"],
+        filter=pc.field("event_type").isin(list(FUNNEL_STEPS)))
 
     def stage_of(g: pa.Table) -> pa.Table:
         et = g.column("event_type").to_numpy(zero_copy_only=False)
