@@ -385,3 +385,22 @@ def build_media_table(n_rows: int, seed: int = 42) -> "pa.Table":
         "media_id": pa.array(ids, pa.int64()),
         "image": pa.array(images, pa.binary()),
         "audio": pa.array(audios, pa.binary())})
+
+
+def build_video_table(n_rows: int, seed: int = 42) -> "pa.Table":
+    """Deterministic video corpus: one small MJPEG AVI per row (3-6 frames
+    of 16x16 RGB, REAL container + JPEG bytes via functions/avi.py).
+    Reproducible bit-for-bit; the video analogue of build_media_table."""
+    from .functions.avi import avi_encode
+
+    ids, videos = [], []
+    for i in range(n_rows):
+        rng = np.random.RandomState((seed << 16) ^ 0x51DE0 ^ i)
+        n_frames = 3 + int(rng.randint(0, 4))
+        frames = [rng.randint(0, 256, size=(16, 16, 3)).astype(np.uint8)
+                  for _ in range(n_frames)]
+        ids.append(i)
+        videos.append(avi_encode(frames, fps=4, quality=90))
+    return pa.Table.from_pydict({
+        "media_id": pa.array(ids, pa.int64()),
+        "video": pa.array(videos, pa.binary())})

@@ -1524,6 +1524,31 @@ def q_image_features(sf_dir: str) -> pa.Table:
         "decode_ok": pa.array(df["decode_ok"], pa.bool_())})
 
 
+def q_video_features(sf_dir: str) -> pa.Table:
+    """Every-2nd-frame sampling over a deterministic MJPEG AVI corpus — the
+    REAL container walk (functions/avi.py) + baseline JPEG decode per
+    sampled frame inside an actor-pool stage. Output is integer-exact
+    (frame numbers, pixel-derived digests, integer mean luma), so the
+    pinned golden is bit-stable. Corpus capped at 240 rows: generation is
+    driver-side one-off fixture work, decode is the distributed part."""
+    from .fixtures import build_video_table
+    from .stages.multimodal import FrameSampleStage
+    n = pq.read_metadata(_p(sf_dir, "documents")).num_rows
+    ds = rd.from_arrow(build_video_table(min(n, 240), seed=42))
+    out = ds.map_batches(
+        FrameSampleStage,
+        fn_constructor_kwargs={"video_col": "video", "every_k": 2,
+                               "allow_fake": False},
+        batch_format="pyarrow", batch_size=32, concurrency=(1, 4))
+    df = out.to_pandas().sort_values(["media_id", "frame_no"])
+    return pa.Table.from_pydict({
+        "media_id": pa.array(df["media_id"], pa.int64()),
+        "frame_no": pa.array(df["frame_no"], pa.int32()),
+        "frame_digest": pa.array(df["frame_digest"], pa.string()),
+        "mean_luma": pa.array(df["mean_luma"], pa.int64()),
+        "decode_ok": pa.array(df["decode_ok"], pa.bool_())})
+
+
 def q_audio_features(sf_dir: str) -> pa.Table:
     from .stages.multimodal import AudioFeatureStage
     out = _media_corpus(sf_dir).map_batches(
@@ -1587,6 +1612,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "extract_pages": q_extract_pages,
     "image_features": q_image_features,
     "audio_features": q_audio_features,
+    "video_features": q_video_features,
 }
 
 # ---------------------------------------------------------------------------
@@ -1608,7 +1634,8 @@ GOLDEN_ORACLE_QUERIES = ("minhash_near_dup_pairs", "ngram_jaccard_pairs",
                          "simhash_fingerprints", "doc_fingerprints",
                          "language_id", "embedding_ann_lsh",
                          "embedding_near_dup_lsh", "extract_pages",
-                         "image_features", "audio_features")
+                         "image_features", "audio_features",
+                         "video_features")
 
 
 def _golden_sql(name: str, sf: str = "sf0.01") -> str:

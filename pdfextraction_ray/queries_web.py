@@ -299,8 +299,16 @@ def q_pagerank(sf_dir: str) -> pa.Table:
             "src": pa.array(src, pa.int64()),
             "dst": pa.array(dst, pa.int64())})
 
+    # input-derived block count: the per-iteration groupby's reduce width
+    # follows the block count, so tiny graphs must not inherit the read's
+    # 64-way parallelism (64 near-empty shuffle partitions x 5 iterations
+    # is pure overhead); ~500k edges per block (floor 4, measured ~2x
+    # faster than either 1 or 64 at bench scale) scales the width back up
+    # with the input
+    n_blocks = max(4, (n * PAGERANK_FANOUT) // 500_000)
     edges = rd.read_parquet(path, columns=["doc_id"]) \
-        .map_batches(gen_edges, batch_format="pyarrow").materialize()
+        .map_batches(gen_edges, batch_format="pyarrow") \
+        .repartition(n_blocks).materialize()
 
     rank = np.full(n, 1.0 / n, dtype=np.float64)
     for _ in range(PAGERANK_ITERS):
@@ -398,8 +406,11 @@ def q_connected_components(sf_dir: str) -> pa.Table:
             "src": pa.array(src, pa.int64()),
             "dst": pa.array(dst, pa.int64())})
 
+    # same input-derived block sizing as q_pagerank (see comment there)
+    n_blocks = max(4, (n * CC_FANOUT) // 500_000)
     edges = rd.read_parquet(path, columns=["doc_id"]) \
-        .map_batches(gen_edges, batch_format="pyarrow").materialize()
+        .map_batches(gen_edges, batch_format="pyarrow") \
+        .repartition(n_blocks).materialize()
 
     label = np.arange(n, dtype=np.int64)
     for _ in range(CC_ROUNDS):

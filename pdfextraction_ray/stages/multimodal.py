@@ -12,7 +12,8 @@ Decode kernels, in priority order per payload:
   the payload digest) so the Ray-side plumbing — schema, batch shapes, actor
   lifecycle, output layout — stays exercised, and ``allow_fake=False`` turns
   the row into a captured ``decode_ok=False`` failure (batch survives).
-Video frame extraction remains a stub (no container parser in stdlib).
+- **video**: MJPEG AVI parses NATIVELY (``functions/avi.py`` RIFF walker +
+  the baseline JPEG decoder); other containers fall to the gated fake.
 """
 
 from __future__ import annotations
@@ -169,33 +170,71 @@ class AudioFeatureStage:
 
 
 class FrameSampleStage:
-    """Video-frame sampling plumbing: binary "video" -> every k-th fake frame
-    digest (stub kernel, real fan-out shape: one row in, n rows out)."""
+    """Video-frame sampling: binary "video" -> every k-th decoded frame
+    (1→N fan-out: one row in, n frame rows out). MJPEG AVI payloads decode
+    NATIVELY (functions/avi.py container walk + functions/jpeg.py baseline
+    decode); the digest and mean-luma outputs are computed from the DECODED
+    pixels, so they pin the whole codec path. Other containers use the
+    gated deterministic fake (``allow_fake=True``) or raise per payload."""
 
-    def __init__(self, video_col: str = "video", every_k: int = 10,
+    def __init__(self, video_col: str = "video", every_k: int = 2,
                  max_frames: int = 8, allow_fake: bool = True):
-        if not allow_fake:
-            raise NotImplementedError("no video codec installed in this env")
         self.video_col = video_col
         self.every_k = every_k
         self.max_frames = max_frames
+        self.allow_fake = allow_fake
+
+    def _sample(self, payload: bytes):
+        """(frame_no, decoded RGB array) for every k-th container frame."""
+        from ..functions import avi
+        if avi.is_avi(payload):
+            frames = avi.avi_frames(payload)
+            picked = list(range(0, len(frames), self.every_k))[:self.max_frames]
+            return [(f, jpeg.jpeg_decode(frames[f])) for f in picked]
+        if not self.allow_fake:
+            raise ValueError("payload is not an MJPEG AVI and no other video "
+                             "codec is installed; pass allow_fake=True for "
+                             "the deterministic stand-in")
+        n_frames = min(self.max_frames, 1 + len(payload) % self.max_frames)
+        return [(f * self.every_k,
+                 _fake_decode(payload + f.to_bytes(4, "little"), 16))
+                for f in range(n_frames)]
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        ids, frame_nos, digests = [], [], []
+        ids, frame_nos, digests, lumas, oks, errs = [], [], [], [], [], []
         id_col = "url" if "url" in batch.column_names else batch.column_names[0]
         for rid, payload in zip(batch.column(id_col).to_pylist(),
                                 batch.column(self.video_col).to_pylist()):
-            payload = payload or b""
-            n_frames = min(self.max_frames, 1 + len(payload) % self.max_frames)
-            for f in range(n_frames):
+            try:
+                sampled = self._sample(payload or b"")
+            except Exception as exc:
                 ids.append(rid)
-                frame_nos.append(f * self.every_k)
+                frame_nos.append(-1)
+                digests.append(None)
+                lumas.append(None)
+                oks.append(False)
+                errs.append(f"{type(exc).__name__}: {exc}")
+                continue
+            for f, arr in sampled:
+                rgb = arr if arr.ndim == 3 else np.repeat(
+                    arr[:, :, None], 3, axis=2)
+                ids.append(rid)
+                frame_nos.append(f)
                 digests.append(hashlib.sha256(
-                    payload + f.to_bytes(4, "little")).hexdigest()[:16])
+                    rgb.tobytes()).hexdigest()[:16])
+                # integer-exact mean luma (scaled sum // count): stable
+                # across platforms, unlike float means
+                lumas.append(int(rgb.astype(np.int64).sum()
+                                 // (rgb.size or 1)))
+                oks.append(True)
+                errs.append(None)
         return pa.Table.from_pydict({
             id_col: pa.array(ids),
             "frame_no": pa.array(frame_nos, pa.int32()),
-            "frame_digest": pa.array(digests, pa.string())})
+            "frame_digest": pa.array(digests, pa.string()),
+            "mean_luma": pa.array(lumas, pa.int64()),
+            "decode_ok": pa.array(oks, pa.bool_()),
+            "decode_error": pa.array(errs, pa.string())})
 
 
 def decode_images(ds: "Any", *, image_col: str = "image",

@@ -51,8 +51,39 @@ def test_frame_sampler_fan_out():
     per_u1 = [f for u, f in zip(out.column("url").to_pylist(),
                                 out.column("frame_no").to_pylist()) if u == "u1"]
     assert per_u1 == sorted(per_u1)
-    with pytest.raises(NotImplementedError):
-        FrameSampleStage(allow_fake=False)
+    assert out.column("decode_ok").to_pylist() == [True] * out.num_rows
+
+
+def test_frame_sampler_real_avi_roundtrip():
+    """MJPEG AVI payloads decode through the REAL container+JPEG path with
+    allow_fake=False: every-k sampling, pixel-derived digests, and the
+    integer mean-luma matching a direct decode of the same frames."""
+    import hashlib
+
+    from pdfextraction_ray.functions import jpeg as J
+    from pdfextraction_ray.functions.avi import avi_encode, avi_frames
+
+    rng = np.random.RandomState(11)
+    frames = [rng.randint(0, 256, (16, 24, 3)).astype(np.uint8)
+              for _ in range(6)]
+    payload = avi_encode(frames, fps=4)
+    t = pa.Table.from_pydict({"url": ["v1"], "video": [payload]})
+    out = FrameSampleStage(every_k=2, allow_fake=False)(t)
+    assert out.column("frame_no").to_pylist() == [0, 2, 4]
+    assert out.column("decode_ok").to_pylist() == [True] * 3
+    for row, fno in enumerate([0, 2, 4]):
+        rgb = J.jpeg_decode(avi_frames(payload)[fno])
+        assert out.column("frame_digest")[row].as_py() == \
+            hashlib.sha256(rgb.tobytes()).hexdigest()[:16]
+        assert out.column("mean_luma")[row].as_py() == \
+            int(rgb.astype(np.int64).sum() // rgb.size)
+
+
+def test_frame_sampler_non_avi_fails_closed():
+    t = pa.Table.from_pydict({"url": ["u1"], "video": [b"not-a-video"]})
+    out = FrameSampleStage(allow_fake=False)(t)
+    assert out.column("decode_ok").to_pylist() == [False]
+    assert "MJPEG AVI" in out.column("decode_error")[0].as_py()
 
 
 def test_domain_salt_stable_and_bounded():

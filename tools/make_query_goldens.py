@@ -35,6 +35,7 @@ GOLDEN_QUERIES = [
     "approx_distinct_users",
     "logreg_train",
     "value_percentiles_hist",
+    "video_features",
 ]
 
 OUT_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
