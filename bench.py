@@ -47,7 +47,8 @@ BENCH_QUERIES = ["pricing_summary", "events_by_type", "top_recent_events",
                  "value_change_counts", "weighted_sample",
                  "dup_ngram_spans", "pagerank", "connected_components",
                  "value_percentiles_hist", "rolling_event_stats",
-                 "corpus_checksum", "video_features"]
+                 "corpus_checksum", "video_features",
+                 "event_type_pivot", "customer_event_full_outer"]
 
 
 def _generate_corpus(n_docs: int, out_dir: str) -> None:

@@ -652,6 +652,121 @@ FROM documents
 
 
 # ---------------------------------------------------------------------------
+# pivot (conditional aggregation): one row per user, one count column per
+# event type — the wide-format reshape family. Distributed shape: per-batch
+# fixed-width partials (factorize + 2-D bincount collapses each batch to
+# <=|users-in-batch| rows x 5 int columns) BEFORE the single groupby-sum,
+# so the wide stage moves partial rows, never events. The pivoted column
+# set is the known event-type vocabulary (pivot over an unbounded column
+# set would need a vocabulary pass first — same two-pass shape as
+# value_percentiles_hist).
+# ---------------------------------------------------------------------------
+
+_PIVOT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def q_event_type_pivot(sf_dir: str) -> pa.Table:
+    ds = rd.read_parquet(_p(sf_dir, "events"),
+                         columns=["user_id", "event_type"])
+    t2i = {t: i for i, t in enumerate(_PIVOT_TYPES)}
+
+    def partial(t: pa.Table) -> pa.Table:
+        uid = t.column("user_id").to_numpy(zero_copy_only=False)
+        et = t.column("event_type").to_numpy(zero_copy_only=False)
+        ucodes, uniq = pd.factorize(uid)
+        tcodes = np.fromiter((t2i[x] for x in et), dtype=np.int64,
+                             count=len(et))
+        counts = np.bincount(ucodes * len(_PIVOT_TYPES) + tcodes,
+                             minlength=len(uniq) * len(_PIVOT_TYPES)) \
+            .reshape(len(uniq), len(_PIVOT_TYPES))
+        cols = {"user_id": pa.array(uniq, pa.int64())}
+        for i, ty in enumerate(_PIVOT_TYPES):
+            cols[f"n_{ty}"] = pa.array(counts[:, i], pa.int64())
+        return pa.Table.from_pydict(cols)
+
+    aggs = [Sum(f"n_{ty}", alias_name=f"n_{ty}") for ty in _PIVOT_TYPES]
+    out = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("user_id").aggregate(*aggs)
+    t = pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+    return t.sort_by([("user_id", "ascending")])
+
+
+SQL_EVENT_TYPE_PIVOT = """
+SELECT user_id,
+       count(*) FILTER (WHERE event_type = 'click') AS n_click,
+       count(*) FILTER (WHERE event_type = 'error') AS n_error,
+       count(*) FILTER (WHERE event_type = 'purchase') AS n_purchase,
+       count(*) FILTER (WHERE event_type = 'signup') AS n_signup,
+       count(*) FILTER (WHERE event_type = 'view') AS n_view
+FROM events GROUP BY user_id ORDER BY user_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# full outer join as union + group-coalesce: customers ⟗ per-user event
+# counts. Each side collapses to narrow keyed partials (events via a
+# combiner, customer already keyed), the union shuffles ONCE by key, and
+# associative aggregates coalesce the sides (Sum for counts — the missing
+# side contributes 0; Max over a below-domain sentinel for acctbal — the
+# missing side contributes the sentinel, mapped to the null marker
+# in-pipeline). No driver-side key state, no Dataset.join fixed cost.
+# ---------------------------------------------------------------------------
+
+_ACCTBAL_SENTINEL = -100000.0
+
+
+def q_customer_event_full_outer(sf_dir: str) -> pa.Table:
+    from ray.data.aggregate import Max as _Max
+
+    ev = rd.read_parquet(_p(sf_dir, "events"), columns=["user_id"])
+
+    def ev_partial(t: pa.Table) -> pa.Table:
+        uid = t.column("user_id").to_numpy(zero_copy_only=False)
+        codes, uniq = pd.factorize(uid)
+        return pa.Table.from_pydict({
+            "key": pa.array(uniq, pa.int64()),
+            "n_events": pa.array(np.bincount(codes), pa.int64()),
+            "acctbal": pa.array(np.full(len(uniq), _ACCTBAL_SENTINEL),
+                                pa.float64())})
+
+    def cust_rows(t: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict({
+            "key": t.column("c_custkey").cast(pa.int64()),
+            "n_events": pa.array(np.zeros(len(t), np.int64), pa.int64()),
+            "acctbal": t.column("c_acctbal").cast(pa.float64())})
+
+    cu = rd.read_parquet(_p(sf_dir, "customer"),
+                         columns=["c_custkey", "c_acctbal"]) \
+        .map_batches(cust_rows, batch_format="pyarrow")
+    both = ev.map_batches(ev_partial, batch_format="pyarrow").union(cu)
+    out = both.groupby("key").aggregate(
+        Sum("n_events", alias_name="n_events"),
+        _Max("acctbal", alias_name="acctbal"))
+
+    def finish(t: pa.Table) -> pa.Table:
+        ab = t.column("acctbal").to_numpy(zero_copy_only=False)
+        ab = np.where(ab <= _ACCTBAL_SENTINEL, -1.0, np.round(ab, 4))
+        return t.set_column(t.schema.get_field_index("acctbal"), "acctbal",
+                            pa.array(ab, pa.float64()).cast(pa.float32()))
+
+    res = out.map_batches(finish, batch_format="pyarrow")
+    t = pa.Table.from_pandas(res.to_pandas(), preserve_index=False)
+    return t.sort_by([("key", "ascending")])
+
+
+SQL_CUSTOMER_EVENT_FULL_OUTER = """
+SELECT coalesce(c.c_custkey, e.user_id) AS key,
+       coalesce(e.n_events, 0) AS n_events,
+       CAST(ROUND(coalesce(c.c_acctbal, -1.0), 4) AS REAL) AS acctbal
+FROM customer c
+FULL OUTER JOIN (SELECT user_id, count(*) AS n_events
+                 FROM events GROUP BY user_id) e
+  ON c.c_custkey = e.user_id
+ORDER BY key
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry fragments merged by queries.py
 # ---------------------------------------------------------------------------
 
@@ -664,6 +779,8 @@ WEB_QUERIES: dict[str, Callable[[str], Any]] = {
     "value_percentiles_hist": q_value_percentiles_hist,
     "rolling_event_stats": q_rolling_event_stats,
     "corpus_checksum": q_corpus_checksum,
+    "event_type_pivot": q_event_type_pivot,
+    "customer_event_full_outer": q_customer_event_full_outer,
 }
 
 WEB_ORACLES: dict[str, str] = {
@@ -674,6 +791,8 @@ WEB_ORACLES: dict[str, str] = {
     "connected_components": SQL_CONNECTED_COMPONENTS,
     "rolling_event_stats": SQL_ROLLING_EVENT_STATS,
     "corpus_checksum": SQL_CORPUS_CHECKSUM,
+    "event_type_pivot": SQL_EVENT_TYPE_PIVOT,
+    "customer_event_full_outer": SQL_CUSTOMER_EVENT_FULL_OUTER,
 }
 
 # pinned-golden-backed (histogram-sketch estimates are not SQL-expressible)

@@ -184,3 +184,35 @@ def test_corpus_checksum_detects_mutation(ray_session, tmp_path):
     d2.mkdir()
     _pq.write_table(mut, d2 / "documents.parquet")
     assert not q_corpus_checksum(str(d2)).to_pandas().equals(base)
+
+
+def test_event_type_pivot_row_sums(ray_session):
+    """Pivot counts sum back to each user's event count (reshape loses
+    nothing) and cover every event type column."""
+    from pdfextraction_ray.queries_web import _PIVOT_TYPES, q_event_type_pivot
+
+    t = q_event_type_pivot(SF).to_pandas()
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["user_id"]).to_pandas()
+    per_user = ev.groupby("user_id").size()
+    cols = [f"n_{ty}" for ty in _PIVOT_TYPES]
+    assert t[cols].sum(axis=1).tolist() == \
+        [per_user[u] for u in t.user_id]
+
+
+def test_full_outer_covers_both_sides(ray_session):
+    """Result keys = customers ∪ event users; matched rows carry both the
+    event count and the customer acctbal; customer-only rows count 0."""
+    from pdfextraction_ray.queries_web import q_customer_event_full_outer
+
+    t = q_customer_event_full_outer(SF).to_pandas()
+    cust = pq.read_table(f"{SF}/customer.parquet",
+                         columns=["c_custkey"]).to_pandas()
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["user_id"]).to_pandas()
+    assert set(t.key) == set(cust.c_custkey) | set(ev.user_id)
+    matched = t[t.key.isin(set(ev.user_id))]
+    assert (matched.n_events > 0).all()
+    cust_only = t[~t.key.isin(set(ev.user_id))]
+    assert (cust_only.n_events == 0).all()
+    assert (cust_only.acctbal != -1.0).all()  # all are real customers
