@@ -767,6 +767,150 @@ ORDER BY key
 
 
 # ---------------------------------------------------------------------------
+# grouped vector mean — the nested-list aggregation family (average
+# embedding per label, the centroid primitive under recommendation /
+# clustering pipelines). Per-batch partials: one numpy matrix-sum per label
+# (|labels| x dim rows leave each batch, never vectors), long-format
+# (label, dim, s, n) so the global groupby-sum is a plain scalar
+# aggregate; means materialize only at the driver. The SQL oracle unnests
+# with a 1-based index join — DuckDB needs no vector type.
+# ---------------------------------------------------------------------------
+
+def q_mean_embedding_by_label(sf_dir: str) -> pa.Table:
+    ds = rd.read_parquet(_p(sf_dir, "embeddings"),
+                         columns=["label", "embedding"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        lab = t.column("label").to_numpy(zero_copy_only=False)
+        emb = np.stack(t.column("embedding").to_numpy(zero_copy_only=False)) \
+            .astype(np.float64)
+        codes, uniq = pd.factorize(lab)
+        dim = emb.shape[1]
+        sums = np.zeros((len(uniq), dim))
+        np.add.at(sums, codes, emb)
+        counts = np.bincount(codes)
+        return pa.Table.from_pydict({
+            "label": pa.array(np.repeat(uniq.astype(np.int64), dim), pa.int64()),
+            "dim": pa.array(np.tile(np.arange(1, dim + 1), len(uniq)), pa.int64()),
+            "s": pa.array(sums.ravel(), pa.float64()),
+            "n": pa.array(np.repeat(counts, dim), pa.int64())})
+
+    agg = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("label").map_groups(
+            lambda g: g.group_by(["label", "dim"]).aggregate(
+                [("s", "sum"), ("n", "sum")]),
+            batch_format="pyarrow")
+    t = pa.Table.from_pandas(agg.to_pandas(), preserve_index=False)
+    mean = pc.round(
+        pa.array(t.column("s_sum").to_numpy(zero_copy_only=False)
+                 / t.column("n_sum").to_numpy(zero_copy_only=False),
+                 pa.float64()),
+        ndigits=4, round_mode="half_towards_infinity").cast(pa.float32())
+    out = pa.table({"label": t.column("label"), "dim": t.column("dim"),
+                    "mean_val": mean})
+    return out.sort_by([("label", "ascending"), ("dim", "ascending")])
+
+
+SQL_MEAN_EMBEDDING_BY_LABEL = """
+SELECT label, i AS dim,
+       CAST(ROUND(avg(CAST(embedding[i] AS DOUBLE)), 4) AS REAL) AS mean_val
+FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS t(i)
+GROUP BY label, i ORDER BY label, dim
+"""
+
+
+# ---------------------------------------------------------------------------
+# triangle counting over the block-local synthesized graph (same edges as
+# connected_components, normalized a<b, deduplicated, self-loops dropped):
+# the third graph-family member. Distributed shape: wedges generate inside
+# groupby(mid).map_groups (each wedge (a<b<c) is a pair of its middle
+# vertex's neighbors — in-group numpy cross, bounded by the block-local
+# degree), then a broadcast edge-set membership (ray.put sorted composite
+# keys + searchsorted) closes them. Only wedge rows shuffle; the edge set
+# broadcasts once. SQL oracle: the canonical 3-way self-join.
+# ---------------------------------------------------------------------------
+
+def q_triangle_count(sf_dir: str) -> pa.Table:
+    path = _p(sf_dir, "documents")
+    n = pq.read_metadata(path).num_rows
+
+    def gen_edges(t: pa.Table) -> pa.Table:
+        src = np.repeat(t.column("doc_id").to_numpy(zero_copy_only=False),
+                        CC_FANOUT)
+        j = np.tile(np.arange(CC_FANOUT, dtype=np.int64), len(t))
+        dst = (src - src % CC_BLOCK) + \
+            (_md5_u32(src * CC_FANOUT + j).astype(np.int64)) % CC_BLOCK
+        dst = np.minimum(dst, n - 1)
+        a, b = np.minimum(src, dst), np.maximum(src, dst)
+        keep = a < b  # drop self-loops
+        uniq = np.unique(np.stack([a[keep], b[keep]], axis=1), axis=0)
+        return pa.Table.from_pydict({
+            "a": pa.array(uniq[:, 0], pa.int64()),
+            "b": pa.array(uniq[:, 1], pa.int64())})
+
+    edges = rd.read_parquet(path, columns=["doc_id"]) \
+        .map_batches(gen_edges, batch_format="pyarrow") \
+        .repartition(max(4, (n * CC_FANOUT) // 500_000)).materialize()
+
+    # batch-level dedup above is not global: dedup once via groupby, then
+    # broadcast the (small, block-local) edge key set for wedge closing
+    et = pa.Table.from_pandas(
+        edges.groupby("a").map_groups(
+            lambda g: g.group_by(["a", "b"]).aggregate([]),
+            batch_format="pyarrow").to_pandas(), preserve_index=False)
+    ekeys = np.sort(et.column("a").to_numpy(zero_copy_only=False) * n
+                    + et.column("b").to_numpy(zero_copy_only=False))
+    ekeys_ref = ray.put(ekeys)
+    edges_d = rd.from_arrow(et)
+
+    def close_wedges(g: pa.Table, _ref=ekeys_ref) -> pa.Table:
+        keys = ray.get(_ref)
+        # g holds every edge (mid, c) with mid = this group's 'a': its
+        # higher neighbors; each neighbor pair (c1 < c2) is a wedge
+        nb = np.sort(g.column("b").to_numpy(zero_copy_only=False))
+        if len(nb) < 2:
+            return pa.table({"n": pa.array([0], pa.int64())})
+        i, j = np.triu_indices(len(nb), k=1)
+        wk = nb[i] * n + nb[j]
+        pos = np.searchsorted(keys, wk)
+        pos[pos >= len(keys)] = len(keys) - 1
+        closed = int((keys[pos] == wk).sum()) if len(keys) else 0
+        return pa.table({"n": pa.array([closed], pa.int64())})
+
+    # NOTE: wedges with middle m pair m's SMALLER-id... here 'a' is the
+    # smallest vertex of each edge, so grouping by a pairs a's higher
+    # neighbors: wedge (a; c1<c2) + edge (c1,c2) closes triangle a<c1<c2,
+    # counting each triangle exactly once at its minimum vertex.
+    out = edges_d.groupby("a").map_groups(close_wedges,
+                                          batch_format="pyarrow")
+    t = pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+    return pa.table({"n_triangles": pa.array(
+        [int(t.column("n").to_numpy().sum())], pa.int64())})
+
+
+def _triangle_sql() -> str:
+    n = "(SELECT count(*) FROM documents)"
+    return f"""
+WITH raw AS MATERIALIZED (
+  SELECT doc_id AS src,
+         least(doc_id - doc_id % {CC_BLOCK}
+               + CAST(CAST(('0x' || substr(md5(CAST(doc_id * {CC_FANOUT} + j
+                     AS VARCHAR)), 1, 8)) AS UBIGINT) % {CC_BLOCK} AS BIGINT),
+               {n} - 1) AS dst
+  FROM documents, UNNEST([0, 1]) AS t(j)),
+ e AS MATERIALIZED (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM raw WHERE src <> dst)
+SELECT count(*) AS n_triangles
+FROM e e1 JOIN e e2 ON e2.a = e1.b JOIN e e3
+  ON e3.a = e1.a AND e3.b = e2.b
+"""
+
+
+SQL_TRIANGLE_COUNT = _triangle_sql()
+
+
+# ---------------------------------------------------------------------------
 # registry fragments merged by queries.py
 # ---------------------------------------------------------------------------
 
@@ -781,6 +925,8 @@ WEB_QUERIES: dict[str, Callable[[str], Any]] = {
     "corpus_checksum": q_corpus_checksum,
     "event_type_pivot": q_event_type_pivot,
     "customer_event_full_outer": q_customer_event_full_outer,
+    "mean_embedding_by_label": q_mean_embedding_by_label,
+    "triangle_count": q_triangle_count,
 }
 
 WEB_ORACLES: dict[str, str] = {
@@ -793,6 +939,8 @@ WEB_ORACLES: dict[str, str] = {
     "corpus_checksum": SQL_CORPUS_CHECKSUM,
     "event_type_pivot": SQL_EVENT_TYPE_PIVOT,
     "customer_event_full_outer": SQL_CUSTOMER_EVENT_FULL_OUTER,
+    "mean_embedding_by_label": SQL_MEAN_EMBEDDING_BY_LABEL,
+    "triangle_count": SQL_TRIANGLE_COUNT,
 }
 
 # pinned-golden-backed (histogram-sketch estimates are not SQL-expressible)

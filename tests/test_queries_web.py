@@ -216,3 +216,43 @@ def test_full_outer_covers_both_sides(ray_session):
     cust_only = t[~t.key.isin(set(ev.user_id))]
     assert (cust_only.n_events == 0).all()
     assert (cust_only.acctbal != -1.0).all()  # all are real customers
+
+
+def test_mean_embedding_by_label_replay(ray_session):
+    """Per-label centroids equal a direct numpy groupby-mean."""
+    from pdfextraction_ray.queries_web import q_mean_embedding_by_label
+
+    t = q_mean_embedding_by_label(SF).to_pandas()
+    emb = pq.read_table(f"{SF}/embeddings.parquet").to_pandas()
+    for lab, g in emb.groupby("label"):
+        mat = np.stack(g.embedding.to_numpy()).astype(np.float64)
+        want = np.round(mat.mean(axis=0), 4)
+        got = t[t.label == lab].sort_values("dim").mean_val.to_numpy()
+        assert np.allclose(got, want, atol=1e-3), lab
+
+
+def test_triangle_count_vs_brute_force(ray_session):
+    """Triangle count equals a brute-force count over the same edges."""
+    import hashlib
+    from itertools import combinations
+
+    from pdfextraction_ray.queries_web import (CC_BLOCK, CC_FANOUT,
+                                               q_triangle_count)
+
+    n = len(pq.read_table(f"{SF}/documents.parquet", columns=["doc_id"]))
+    edges = set()
+    for s in range(n):
+        for j in range(CC_FANOUT):
+            d = min((s - s % CC_BLOCK)
+                    + int(hashlib.md5(str(s * CC_FANOUT + j).encode())
+                          .hexdigest()[:8], 16) % CC_BLOCK, n - 1)
+            if s != d:
+                edges.add((min(s, d), max(s, d)))
+    adj = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    want = sum(1 for a, b in edges
+               for c in (adj[a] & adj[b]) if c > b)
+    got = q_triangle_count(SF).to_pandas().n_triangles[0]
+    assert got == want and got > 0
