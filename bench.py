@@ -49,7 +49,8 @@ BENCH_QUERIES = ["pricing_summary", "events_by_type", "top_recent_events",
                  "value_percentiles_hist", "rolling_event_stats",
                  "corpus_checksum", "video_features",
                  "event_type_pivot", "customer_event_full_outer",
-                 "mean_embedding_by_label", "triangle_count"]
+                 "mean_embedding_by_label", "triangle_count",
+                 "value_quartile_buckets"]
 
 
 def _generate_corpus(n_docs: int, out_dir: str) -> None:

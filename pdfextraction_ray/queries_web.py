@@ -911,6 +911,102 @@ SQL_TRIANGLE_COUNT = _triangle_sql()
 
 
 # ---------------------------------------------------------------------------
+# distribution bucketing: assign every event its within-group value
+# quartile and count the buckets — the NTILE/cume_dist family, but
+# value-based (percentile_disc boundaries) so tie semantics are
+# deterministic and engine-independent. Composes the rank-addressed exact
+# percentile machinery (queries.q_value_percentiles' two-pass: distributed
+# sort + rank->block addressing — no task holds a full group) to fetch 3
+# boundaries per group, broadcasts the 5x3 boundary table, then one
+# streaming pass buckets and pre-counts per batch before a tiny groupby.
+# ---------------------------------------------------------------------------
+
+def q_value_quartile_buckets(sf_dir: str) -> pa.Table:
+    import bisect
+    import math
+
+    from .queries import _block_type_counts, _fetch_order_stats
+
+    ds = rd.read_parquet(_p(sf_dir, "events"),
+                         columns=["event_type", "value"])
+    sorted_ds = ds.sort(["event_type", "value"]).materialize()
+    refs = sorted_ds.to_arrow_refs()
+    per_block = ray.get([_block_type_counts.remote(r) for r in refs])
+
+    totals: dict = {}
+    spans: dict = {}
+    for bi, counts in enumerate(per_block):
+        for g, c in counts:
+            s = totals.get(g, 0)
+            spans.setdefault(g, ([], []))
+            spans[g][0].append(s)
+            spans[g][1].append((bi, c))
+            totals[g] = s + c
+
+    # percentile_disc(q) = value at 1-based rank ceil(q*N)
+    need: dict = {}
+    for g, n in totals.items():
+        for q in (0.25, 0.50, 0.75):
+            grank = max(int(math.ceil(q * n)) - 1, 0)
+            starts, blocks = spans[g]
+            i = bisect.bisect_right(starts, grank) - 1
+            bi, _ = blocks[i]
+            need.setdefault(bi, {}).setdefault(g, []).append(
+                (grank, grank - starts[i]))
+    fetched = ray.get([_fetch_order_stats.remote(refs[bi], wanted)
+                       for bi, wanted in need.items()])
+    val_at = {(g, grank): v for part in fetched for g, grank, v in part}
+    bounds = {}
+    for g, n in totals.items():
+        bounds[g] = [val_at[(g, max(int(math.ceil(q * n)) - 1, 0))]
+                     for q in (0.25, 0.50, 0.75)]
+    bounds_ref = ray.put(bounds)
+
+    def bucket_partial(t: pa.Table, _ref=bounds_ref) -> pa.Table:
+        b = ray.get(_ref)
+        et = t.column("event_type").to_numpy(zero_copy_only=False)
+        v = t.column("value").to_numpy(zero_copy_only=False)
+        codes, uniq = pd.factorize(et)
+        bm = np.array([b[g] for g in uniq])  # |groups-in-batch| x 3
+        bucket = 1 + (v > bm[codes, 0]).astype(np.int64) \
+            + (v > bm[codes, 1]) + (v > bm[codes, 2])
+        key = codes * 4 + (bucket - 1)
+        cnt = np.bincount(key, minlength=len(uniq) * 4)
+        nz = np.flatnonzero(cnt)
+        return pa.Table.from_pydict({
+            "event_type": pa.array(uniq[nz // 4], pa.string()),
+            "bucket": pa.array(nz % 4 + 1, pa.int64()),
+            "n": pa.array(cnt[nz], pa.int64())})
+
+    def merge(g: pa.Table) -> pa.Table:
+        a = g.group_by(["event_type", "bucket"]).aggregate([("n", "sum")])
+        # name-addressed select: pyarrow key/agg column order varies by release
+        return a.select(["event_type", "bucket", "n_sum"]) \
+            .rename_columns(["event_type", "bucket", "n"])
+
+    out = ds.map_batches(bucket_partial, batch_format="pyarrow") \
+        .groupby("event_type").map_groups(merge, batch_format="pyarrow")
+    t = pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+    return t.sort_by([("event_type", "ascending"), ("bucket", "ascending")])
+
+
+SQL_VALUE_QUARTILE_BUCKETS = """
+WITH b AS (
+  SELECT event_type,
+         percentile_disc(0.25) WITHIN GROUP (ORDER BY value) AS p25,
+         percentile_disc(0.50) WITHIN GROUP (ORDER BY value) AS p50,
+         percentile_disc(0.75) WITHIN GROUP (ORDER BY value) AS p75
+  FROM events GROUP BY event_type)
+SELECT e.event_type,
+       CAST(1 + CAST(e.value > b.p25 AS INT) + CAST(e.value > b.p50 AS INT)
+              + CAST(e.value > b.p75 AS INT) AS BIGINT) AS bucket,
+       count(*) AS n
+FROM events e JOIN b USING (event_type)
+GROUP BY e.event_type, bucket ORDER BY event_type, bucket
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry fragments merged by queries.py
 # ---------------------------------------------------------------------------
 
@@ -927,6 +1023,7 @@ WEB_QUERIES: dict[str, Callable[[str], Any]] = {
     "customer_event_full_outer": q_customer_event_full_outer,
     "mean_embedding_by_label": q_mean_embedding_by_label,
     "triangle_count": q_triangle_count,
+    "value_quartile_buckets": q_value_quartile_buckets,
 }
 
 WEB_ORACLES: dict[str, str] = {
@@ -941,6 +1038,7 @@ WEB_ORACLES: dict[str, str] = {
     "customer_event_full_outer": SQL_CUSTOMER_EVENT_FULL_OUTER,
     "mean_embedding_by_label": SQL_MEAN_EMBEDDING_BY_LABEL,
     "triangle_count": SQL_TRIANGLE_COUNT,
+    "value_quartile_buckets": SQL_VALUE_QUARTILE_BUCKETS,
 }
 
 # pinned-golden-backed (histogram-sketch estimates are not SQL-expressible)

@@ -256,3 +256,18 @@ def test_triangle_count_vs_brute_force(ray_session):
                for c in (adj[a] & adj[b]) if c > b)
     got = q_triangle_count(SF).to_pandas().n_triangles[0]
     assert got == want and got > 0
+
+
+def test_value_quartile_buckets_balanced(ray_session):
+    """Bucket counts per group sum to the group size and are near-balanced
+    (each quartile holds 25% ± 1 value by the percentile_disc contract)."""
+    from pdfextraction_ray.queries_web import q_value_quartile_buckets
+
+    t = q_value_quartile_buckets(SF).to_pandas()
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["event_type"]).to_pandas()
+    sizes = ev.groupby("event_type").size()
+    for g, grp in t.groupby("event_type"):
+        assert grp.n.sum() == sizes[g]
+        assert sorted(grp.bucket) == [1, 2, 3, 4]
+        assert grp.n.max() - grp.n.min() <= 3  # near-quartering
