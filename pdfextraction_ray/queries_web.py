@@ -1007,6 +1007,128 @@ GROUP BY e.event_type, bucket ORDER BY event_type, bucket
 
 
 # ---------------------------------------------------------------------------
+# ROLLUP (multi-level aggregation with subtotals): order counts and revenue
+# by (priority, year), by priority, and grand total in ONE streaming pass —
+# the detail level is the only distributed aggregate (per-batch partials →
+# small groupby); the coarser levels derive from the detail RESULT
+# (|priorities| x |years| rows) on the driver, because rollup levels are
+# exact post-aggregations of the finest level. NULL grouping keys are
+# encoded as 'ALL' (driver hash-compare needs non-null keys; the SQL
+# mirrors with coalesce).
+# ---------------------------------------------------------------------------
+
+def q_orders_rollup(sf_dir: str) -> pa.Table:
+    ds = rd.read_parquet(_p(sf_dir, "orders"),
+                         columns=["o_orderpriority", "o_orderdate",
+                                  "o_totalprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        yr = pc.year(t["o_orderdate"])
+        g = pa.table({
+            "prio": t.column("o_orderpriority"),
+            "yr": yr,
+            "rev": t.column("o_totalprice"),
+        }).group_by(["prio", "yr"]).aggregate([("rev", "sum"),
+                                               ("rev", "count")])
+        return g.select(["prio", "yr", "rev_sum", "rev_count"]) \
+            .rename_columns(["prio", "yr", "rev", "n"])
+
+    detail_ds = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("prio").map_groups(
+            lambda g: g.group_by(["prio", "yr"]).aggregate(
+                [("rev", "sum"), ("n", "sum")])
+            .select(["prio", "yr", "rev_sum", "n_sum"])
+            .rename_columns(["prio", "yr", "rev", "n"]),
+            batch_format="pyarrow")
+    d = pa.Table.from_pandas(detail_ds.to_pandas(), preserve_index=False) \
+        .sort_by([("prio", "ascending"), ("yr", "ascending")])
+
+    prio = d.column("prio").to_pylist()
+    yr = [str(y) for y in d.column("yr").to_pylist()]
+    rev = d.column("rev").to_numpy(zero_copy_only=False)
+    n = d.column("n").to_numpy(zero_copy_only=False)
+    rows = list(zip(prio, yr, rev, n))
+    # level 1: per priority; level 0: grand total — driver-side rollup of
+    # the result-sized detail table, in sorted detail order
+    by_prio: dict = {}
+    for p, _, r, c in rows:
+        s = by_prio.setdefault(p, [0.0, 0])
+        s[0] += r
+        s[1] += c
+    rows += [(p, "ALL", s[0], s[1]) for p, s in sorted(by_prio.items())]
+    rows.append(("ALL", "ALL", float(rev.sum()), int(n.sum())))
+    out = pa.table({
+        "prio": pa.array([r[0] for r in rows], pa.string()),
+        "yr": pa.array([r[1] for r in rows], pa.string()),
+        # np.round (multiply-round-divide) snaps to the nearest double of
+        # the 2-decimal value exactly like DuckDB ROUND; pc.round does not
+        # at ~1e8 magnitude (leaves ...35000001 artifacts) — bit-exactness
+        # at the driver gate requires the snap
+        "revenue": pa.array(np.round([float(r[2]) for r in rows], 2),
+                            pa.float64()),
+        "n_orders": pa.array([int(r[3]) for r in rows], pa.int64())})
+    return out.sort_by([("prio", "ascending"), ("yr", "ascending")])
+
+
+SQL_ORDERS_ROLLUP = """
+SELECT coalesce(o_orderpriority, 'ALL') AS prio,
+       coalesce(CAST(yr AS VARCHAR), 'ALL') AS yr,
+       ROUND(SUM(o_totalprice), 2) AS revenue,
+       count(*) AS n_orders
+FROM (SELECT o_orderpriority, year(o_orderdate) AS yr, o_totalprice
+      FROM orders) s
+GROUP BY ROLLUP (o_orderpriority, yr)
+ORDER BY prio, yr
+"""
+
+
+# ---------------------------------------------------------------------------
+# grouped list collection (string_agg / collect_list): the 5 smallest
+# doc_ids per language as a comma-joined string. Per-batch partial min-5
+# per group (the grouped-top-k combiner — only 5·|langs| rows per batch
+# move), final min-5 + deterministic ORDER BY inside the merge; the
+# formatted string is the engine-independent collect contract.
+# ---------------------------------------------------------------------------
+
+def q_docs_by_lang_sample(sf_dir: str, k: int = 5) -> pa.Table:
+    ds = rd.read_parquet(_p(sf_dir, "documents"),
+                         columns=["lang", "doc_id"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        lang = t.column("lang").to_numpy(zero_copy_only=False)
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        codes, uniq = pd.factorize(lang)
+        order = np.lexsort((ids, codes))
+        c, i = codes[order], ids[order]
+        pos = np.arange(len(c)) - np.searchsorted(c, c, side="left")
+        keep = pos < k
+        return pa.Table.from_pydict({
+            "lang": pa.array(uniq[c[keep]], pa.string()),
+            "doc_id": pa.array(i[keep], pa.int64())})
+
+    def merge(g: pa.Table) -> pa.Table:
+        ids = np.sort(g.column("doc_id").to_numpy(zero_copy_only=False))[:k]
+        return pa.Table.from_pydict({
+            "lang": pa.array([g.column("lang")[0].as_py()], pa.string()),
+            "doc_ids": pa.array([",".join(str(i) for i in ids)], pa.string())})
+
+    out = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("lang").map_groups(merge, batch_format="pyarrow")
+    t = pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+    return t.sort_by([("lang", "ascending")])
+
+
+SQL_DOCS_BY_LANG_SAMPLE = """
+SELECT lang, string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id)
+       AS doc_ids
+FROM (SELECT lang, doc_id,
+             row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+      FROM documents) s
+WHERE rn <= 5 GROUP BY lang ORDER BY lang
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry fragments merged by queries.py
 # ---------------------------------------------------------------------------
 
@@ -1024,6 +1146,8 @@ WEB_QUERIES: dict[str, Callable[[str], Any]] = {
     "mean_embedding_by_label": q_mean_embedding_by_label,
     "triangle_count": q_triangle_count,
     "value_quartile_buckets": q_value_quartile_buckets,
+    "orders_rollup": q_orders_rollup,
+    "docs_by_lang_sample": q_docs_by_lang_sample,
 }
 
 WEB_ORACLES: dict[str, str] = {
@@ -1039,6 +1163,8 @@ WEB_ORACLES: dict[str, str] = {
     "mean_embedding_by_label": SQL_MEAN_EMBEDDING_BY_LABEL,
     "triangle_count": SQL_TRIANGLE_COUNT,
     "value_quartile_buckets": SQL_VALUE_QUARTILE_BUCKETS,
+    "orders_rollup": SQL_ORDERS_ROLLUP,
+    "docs_by_lang_sample": SQL_DOCS_BY_LANG_SAMPLE,
 }
 
 # pinned-golden-backed (histogram-sketch estimates are not SQL-expressible)

@@ -271,3 +271,33 @@ def test_value_quartile_buckets_balanced(ray_session):
         assert grp.n.sum() == sizes[g]
         assert sorted(grp.bucket) == [1, 2, 3, 4]
         assert grp.n.max() - grp.n.min() <= 3  # near-quartering
+
+
+def test_orders_rollup_levels_consistent(ray_session):
+    """Subtotal rows equal the sum of their detail rows; the grand total
+    equals the sum of all orders."""
+    from pdfextraction_ray.queries_web import q_orders_rollup
+
+    t = q_orders_rollup(SF).to_pandas()
+    detail = t[(t.prio != "ALL") & (t.yr != "ALL")]
+    for p, g in detail.groupby("prio"):
+        sub = t[(t.prio == p) & (t.yr == "ALL")]
+        assert len(sub) == 1
+        assert sub.n_orders.iloc[0] == g.n_orders.sum()
+        assert abs(sub.revenue.iloc[0] - g.revenue.sum()) < 0.1
+    grand = t[(t.prio == "ALL") & (t.yr == "ALL")]
+    orders = pq.read_table(f"{SF}/orders.parquet",
+                           columns=["o_totalprice"]).to_pandas()
+    assert grand.n_orders.iloc[0] == len(orders)
+    assert abs(grand.revenue.iloc[0] - orders.o_totalprice.sum()) < 1.0
+
+
+def test_docs_by_lang_sample_is_min5(ray_session):
+    from pdfextraction_ray.queries_web import q_docs_by_lang_sample
+
+    t = q_docs_by_lang_sample(SF).to_pandas()
+    docs = pq.read_table(f"{SF}/documents.parquet",
+                         columns=["lang", "doc_id"]).to_pandas()
+    for row in t.itertuples():
+        want = sorted(docs[docs.lang == row.lang].doc_id)[:5]
+        assert row.doc_ids == ",".join(str(i) for i in want)
