@@ -5,6 +5,7 @@ Commands:
   full     composed job (parse -> dedup -> histogram) without checkpoints
   gen      generate a deterministic synthetic corpus (FIXTURES.md F1)
   prep     training-set prep: curate -> dedup -> split -> chunk -> parquet
+  compact  merge small parquet files into ~target-MB outputs (post-run tidy)
   stats    print per-stage ds.stats() for a pipeline run (tuning aid)
 
 Owns the Ray session (scripts do; library code never does).
@@ -57,6 +58,12 @@ def main(argv: list[str] | None = None) -> int:
     p_prep.add_argument("--out", required=True)
     p_prep.add_argument("--min-tokens", type=int, default=50)
 
+    p_cmp = sub.add_parser("compact", help="compact small parquet files")
+    p_cmp.add_argument("--input", required=True, help="dir of parquet files")
+    p_cmp.add_argument("--out", required=True)
+    p_cmp.add_argument("--target-mb", type=int, default=256,
+                       help="approximate output file size")
+
     p_stats = sub.add_parser("stats", help="run pipeline and print ds.stats()")
     p_stats.add_argument("--input", required=True)
 
@@ -108,6 +115,28 @@ def main(argv: list[str] | None = None) -> int:
                     glob.glob(os.path.join(args.out, "**", "*.parquet"),
                               recursive=True))
             print(json.dumps({"chunks": n, "out": args.out}))
+        elif args.cmd == "compact":
+            import glob
+            import os
+
+            import pyarrow.parquet as pq
+            import ray.data as rd
+
+            files = sorted(glob.glob(os.path.join(args.input, "**",
+                                                  "*.parquet"),
+                                     recursive=True))
+            total = sum(os.path.getsize(p) for p in files)
+            rows = sum(pq.read_metadata(p).num_rows for p in files)
+            # block count from the on-disk byte target; at least 1
+            n_out = max(1, round(total / (args.target_mb * 1e6)))
+            os.makedirs(args.out, exist_ok=True)
+            rd.read_parquet(files).repartition(n_out).write_parquet(args.out)
+            out_files = glob.glob(os.path.join(args.out, "*.parquet"))
+            out_rows = sum(pq.read_metadata(p).num_rows for p in out_files)
+            assert out_rows == rows, (out_rows, rows)
+            print(json.dumps({"in_files": len(files), "out_files":
+                              len(out_files), "rows": rows,
+                              "in_mb": round(total / 1e6, 1)}))
         elif args.cmd == "stats":
             import glob
             import os

@@ -518,7 +518,9 @@ def q_value_percentiles_hist(sf_dir: str) -> pa.Table:
         t2i, lo_, w_ = ray.get(_ref)
         et = t.column("event_type").to_numpy(zero_copy_only=False)
         v = t.column("value").to_numpy(zero_copy_only=False)
-        gi = np.fromiter((t2i[x] for x in et), dtype=np.int64, count=len(et))
+        codes, uniq = pd.factorize(et)  # one dict lookup per UNIQUE value
+        remap = np.array([t2i[x] for x in uniq], dtype=np.int64)
+        gi = remap[codes]
         b = np.clip(((v - lo_[gi]) / w_[gi]).astype(np.int64),
                     0, HIST_BINS - 1)
         key = gi * HIST_BINS + b
@@ -674,8 +676,8 @@ def q_event_type_pivot(sf_dir: str) -> pa.Table:
         uid = t.column("user_id").to_numpy(zero_copy_only=False)
         et = t.column("event_type").to_numpy(zero_copy_only=False)
         ucodes, uniq = pd.factorize(uid)
-        tcodes = np.fromiter((t2i[x] for x in et), dtype=np.int64,
-                             count=len(et))
+        ecodes, euniq = pd.factorize(et)  # dict lookup per UNIQUE type only
+        tcodes = np.array([t2i[x] for x in euniq], dtype=np.int64)[ecodes]
         counts = np.bincount(ucodes * len(_PIVOT_TYPES) + tcodes,
                              minlength=len(uniq) * len(_PIVOT_TYPES)) \
             .reshape(len(uniq), len(_PIVOT_TYPES))

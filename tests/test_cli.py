@@ -1,0 +1,38 @@
+"""CLI subcommand tests that own their own Ray session — run as
+subprocesses so they cannot tear down the shared session-scoped fixture
+(the CLI calls ray.shutdown() on exit)."""
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+
+import pyarrow.parquet as pq
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_compact_merges_small_files(tmp_path):
+    src = tmp_path / "many"
+    src.mkdir()
+    t = pq.read_table(f"{SF}/documents.parquet")
+    for i in range(6):  # six small shards of the same table
+        pq.write_table(t.slice(i * 80, 80), src / f"part-{i}.parquet")
+    out = tmp_path / "compact"
+    env = dict(os.environ, RAY_ADDRESS="local")
+    res = subprocess.run(
+        [sys.executable, "-m", "pdfextraction_ray", "--num-cpus", "4",
+         "compact", "--input", str(src), "--out", str(out),
+         "--target-mb", "256"],
+        capture_output=True, text=True, env=env, cwd="/root/repo",
+        timeout=240)
+    assert res.returncode == 0, res.stderr[-2000:]
+    summary = json.loads(res.stdout.strip().splitlines()[-1])
+    assert summary["in_files"] == 6
+    assert summary["out_files"] == 1  # 6 tiny shards -> one target-size file
+    assert summary["rows"] == 480
+    got = pq.read_table(str(out))
+    assert got.num_rows == 480
+    assert sorted(got.column("doc_id").to_pylist()) == sorted(
+        t.slice(0, 480).column("doc_id").to_pylist())
