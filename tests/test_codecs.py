@@ -239,3 +239,38 @@ def test_image_stage_decodes_jpeg_natively():
     assert (meta["format"], meta["width"], meta["height"]) == ("jpeg", 24, 24)
     feats = np.array(out.column("image_features").to_pylist()[0])
     assert np.abs(feats - img.reshape(-1, 3).mean(0)).max() < 4.0
+
+
+def test_avi_parser_fails_closed_on_malformed_input():
+    """Truncated / corrupted AVI payloads raise ValueError (or decode
+    fewer frames) — never hang, loop, or crash the stage."""
+    import numpy as np
+    import pytest
+
+    from pdfextraction_ray.functions.avi import avi_encode, avi_frames, is_avi
+
+    rng = np.random.RandomState(5)
+    frames = [rng.randint(0, 256, (8, 8, 3)).astype(np.uint8)
+              for _ in range(3)]
+    good = avi_encode(frames)
+    assert len(avi_frames(good)) == 3
+
+    for bad in (b"", b"RIFF", good[:11], b"RIFF\x00\x00\x00\x00AVI "):
+        with pytest.raises(ValueError):
+            avi_frames(bad)
+    # size field lies beyond the buffer: parser clamps, never reads past
+    for cut in (20, len(good) // 2, len(good) - 3):
+        try:
+            got = avi_frames(good[:cut])
+            assert len(got) <= 3
+        except ValueError:
+            pass
+    # flipped bytes inside movi: either fewer/garbled frames or ValueError,
+    # but structurally bounded
+    corrupt = bytearray(good)
+    for pos in range(60, min(len(corrupt), 400), 17):
+        corrupt[pos] ^= 0xFF
+    try:
+        avi_frames(bytes(corrupt))
+    except ValueError:
+        pass
