@@ -50,7 +50,8 @@ BENCH_QUERIES = ["pricing_summary", "events_by_type", "top_recent_events",
                  "corpus_checksum", "video_features",
                  "event_type_pivot", "customer_event_full_outer",
                  "mean_embedding_by_label", "triangle_count",
-                 "value_quartile_buckets", "orders_rollup", "docs_by_lang_sample"]
+                 "value_quartile_buckets", "orders_rollup", "docs_by_lang_sample",
+                 "doc_row_numbers"]
 
 
 def _generate_corpus(n_docs: int, out_dir: str) -> None:

@@ -1131,6 +1131,51 @@ WHERE rn <= 5 GROUP BY lang ORDER BY lang
 
 
 # ---------------------------------------------------------------------------
+# global row numbering (zipWithIndex / ROW_NUMBER over a global order): the
+# distributed two-pass prefix-sum primitive — distributed sort range-
+# partitions the corpus, per-block counts (a blocks-sized driver table) give
+# each block its exclusive offset, and a second pass adds offset + in-block
+# arange. No task ever sees more than its block; the same shape
+# sequence_packing uses for token budgets, exposed as the standalone
+# numbering operator. Order (lang, doc_id) is total, so numbering is
+# deterministic and the SQL window function reproduces it.
+# ---------------------------------------------------------------------------
+
+def q_doc_row_numbers(sf_dir: str) -> pa.Table:
+    ds = rd.read_parquet(_p(sf_dir, "documents"),
+                         columns=["lang", "doc_id"])
+    sorted_ds = ds.sort(["lang", "doc_id"]).materialize()
+    refs = sorted_ds.to_arrow_refs()
+    counts = ray.get([_nrows.remote(r) for r in refs])
+    offsets = np.concatenate(([0], np.cumsum(counts)[:-1]))
+
+    tables = ray.get([_number_block.remote(r, int(off))
+                      for r, off in zip(refs, offsets)])
+    t = pa.concat_tables([x for x in tables if x.num_rows])
+    return t.sort_by([("row_no", "ascending")])
+
+
+@ray.remote
+def _nrows(t: pa.Table) -> int:
+    return t.num_rows
+
+
+@ray.remote
+def _number_block(t: pa.Table, offset: int) -> pa.Table:
+    return pa.Table.from_pydict({
+        "lang": t.column("lang"),
+        "doc_id": t.column("doc_id"),
+        "row_no": pa.array(offset + 1 + np.arange(t.num_rows), pa.int64())})
+
+
+SQL_DOC_ROW_NUMBERS = """
+SELECT lang, doc_id,
+       row_number() OVER (ORDER BY lang, doc_id) AS row_no
+FROM documents ORDER BY row_no
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry fragments merged by queries.py
 # ---------------------------------------------------------------------------
 
@@ -1150,6 +1195,7 @@ WEB_QUERIES: dict[str, Callable[[str], Any]] = {
     "value_quartile_buckets": q_value_quartile_buckets,
     "orders_rollup": q_orders_rollup,
     "docs_by_lang_sample": q_docs_by_lang_sample,
+    "doc_row_numbers": q_doc_row_numbers,
 }
 
 WEB_ORACLES: dict[str, str] = {
@@ -1167,6 +1213,7 @@ WEB_ORACLES: dict[str, str] = {
     "value_quartile_buckets": SQL_VALUE_QUARTILE_BUCKETS,
     "orders_rollup": SQL_ORDERS_ROLLUP,
     "docs_by_lang_sample": SQL_DOCS_BY_LANG_SAMPLE,
+    "doc_row_numbers": SQL_DOC_ROW_NUMBERS,
 }
 
 # pinned-golden-backed (histogram-sketch estimates are not SQL-expressible)

@@ -301,3 +301,13 @@ def test_docs_by_lang_sample_is_min5(ray_session):
     for row in t.itertuples():
         want = sorted(docs[docs.lang == row.lang].doc_id)[:5]
         assert row.doc_ids == ",".join(str(i) for i in want)
+
+
+def test_doc_row_numbers_total_order(ray_session):
+    """row_no is a 1..N permutation consistent with (lang, doc_id) order."""
+    from pdfextraction_ray.queries_web import q_doc_row_numbers
+
+    t = q_doc_row_numbers(SF).to_pandas()
+    assert t.row_no.tolist() == list(range(1, len(t) + 1))
+    pairs = list(zip(t.lang, t.doc_id))
+    assert pairs == sorted(pairs)
