@@ -6,6 +6,7 @@ Commands:
   gen      generate a deterministic synthetic corpus (FIXTURES.md F1)
   prep     training-set prep: curate -> dedup -> split -> chunk -> parquet
   compact  merge small parquet files into ~target-MB outputs (post-run tidy)
+  analyze  one-shot corpus report over a testdata-shaped table dir
   stats    print per-stage ds.stats() for a pipeline run (tuning aid)
 
 Owns the Ray session (scripts do; library code never does).
@@ -63,6 +64,10 @@ def main(argv: list[str] | None = None) -> int:
     p_cmp.add_argument("--out", required=True)
     p_cmp.add_argument("--target-mb", type=int, default=256,
                        help="approximate output file size")
+
+    p_an = sub.add_parser("analyze", help="corpus report (JSON) over an "
+                          "sf-style dir of documents/events parquet")
+    p_an.add_argument("--sf-dir", required=True)
 
     p_stats = sub.add_parser("stats", help="run pipeline and print ds.stats()")
     p_stats.add_argument("--input", required=True)
@@ -137,6 +142,28 @@ def main(argv: list[str] | None = None) -> int:
             print(json.dumps({"in_files": len(files), "out_files":
                               len(out_files), "rows": rows,
                               "in_mb": round(total / 1e6, 1)}))
+        elif args.cmd == "analyze":
+            # composed corpus report: each section is a registry query
+            # (the same streaming plans the driver gate checks), reduced to
+            # result-sized JSON. Reporting run, not an oracle compare, so
+            # the golden-scale guard is bypassed.
+            import os
+
+            os.environ.setdefault("PDFX_NO_GOLDEN_GUARD", "1")
+            from .queries import QUERIES
+
+            report = {
+                "checksum": QUERIES["corpus_checksum"](args.sf_dir)
+                .to_pydict(),
+                "per_lang": QUERIES["token_stats"](args.sf_dir).to_pydict(),
+                "unique_docs": QUERIES["exact_dedup"](args.sf_dir).num_rows,
+                "docs_with_cross_doc_8grams": int(sum(
+                    n > 0 for n in QUERIES["dup_ngram_spans"](args.sf_dir)
+                    .column("n_dup").to_pylist())),
+                "value_percentiles": QUERIES["value_percentiles_hist"](
+                    args.sf_dir).to_pydict(),
+            }
+            print(json.dumps(report, default=str))
         elif args.cmd == "stats":
             import glob
             import os

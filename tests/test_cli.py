@@ -36,3 +36,16 @@ def test_compact_merges_small_files(tmp_path):
     assert got.num_rows == 480
     assert sorted(got.column("doc_id").to_pylist()) == sorted(
         t.slice(0, 480).column("doc_id").to_pylist())
+
+
+def test_analyze_report(tmp_path):
+    res = subprocess.run(
+        [sys.executable, "-m", "pdfextraction_ray", "--num-cpus", "4",
+         "analyze", "--sf-dir", SF],
+        capture_output=True, text=True, cwd="/root/repo", timeout=300)
+    assert res.returncode == 0, res.stderr[-2000:]
+    report = json.loads(res.stdout.strip().splitlines()[-1])
+    assert report["checksum"]["n_rows"] == [500]
+    assert sorted(report["per_lang"]["lang"]) == report["per_lang"]["lang"]
+    assert report["unique_docs"] <= 500
+    assert set(report["value_percentiles"]) >= {"event_type", "p50", "p99"}
