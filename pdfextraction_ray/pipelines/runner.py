@@ -82,10 +82,21 @@ def _stabilize_fsspec_http_import() -> None:
     sys.modules["fsspec.implementations.http"] = stub
 
 
+def generic_counters(part_dir: str) -> dict[str, Any]:
+    """Pipeline-agnostic partition counters: written rows + bytes (footer
+    metadata only — nothing is re-read)."""
+    files = sorted(glob.glob(os.path.join(part_dir, "*.parquet")))
+    rows = sum(pq.read_metadata(f).num_rows for f in files)
+    return {"rows": int(rows),
+            "bytes_out": int(sum(os.path.getsize(f) for f in files))}
+
+
 def _run_one_partition(part_id: int, files: list[str], out_dir: str,
                        batch_size: int,
                        concurrency: Optional[Union[int, tuple[int, int]]],
-                       parser_version: str) -> int:
+                       parser_version: str,
+                       pipeline_fn: Any = None,
+                       counters_fn: Any = None) -> int:
     t0 = time.perf_counter()
     part_dir = M.partition_output_dir(out_dir, part_id)
     # A prior attempt may have crashed after writing some parquet but before
@@ -93,14 +104,50 @@ def _run_one_partition(part_id: int, files: list[str], out_dir: str,
     # rerunning into a stale dir would duplicate rows. Uncommitted output is
     # garbage by contract — clear it first.
     shutil.rmtree(part_dir, ignore_errors=True)
-    ds = parse_pages(rd.read_parquet(files), batch_size=batch_size,
-                     concurrency=concurrency)
+    if pipeline_fn is None:
+        ds = parse_pages(rd.read_parquet(files), batch_size=batch_size,
+                         concurrency=concurrency)
+    else:
+        ds = pipeline_fn(rd.read_parquet(files))
     ds.write_parquet(part_dir)
-    counters = _partition_counters(part_dir)
+    counters = (counters_fn or _partition_counters)(part_dir)
     M.write_manifest(out_dir, part_id, input_files=files,
                      parser_version=parser_version, counters=counters,
                      wall_time_s=time.perf_counter() - t0)
     return part_id
+
+
+def run_partitioned(pipeline_fn, input_paths: Union[str, list[str]],
+                    out_dir: str, *, files_per_partition: int = 1,
+                    version: str, counters_fn=generic_counters,
+                    ) -> dict[str, Any]:
+    """Generic resumable partitioned run for ANY Dataset->Dataset pipeline:
+    the flagship runner's checkpoint/commit/skip machinery with the pipeline
+    injected. ``pipeline_fn(ds)`` receives the partition's raw read and
+    returns the Dataset to write; ``version`` plays the parser_version role
+    (bump it to invalidate committed partitions). Sequential partitions —
+    each partition's pipeline saturates the cluster on its own; the
+    concurrent-window mode stays flagship-only (its actor-pool deadlock
+    guard is parse-specific). CROSS-PARTITION semantics are the caller's
+    responsibility: any global state (dedup winner sets, vocabularies) must
+    be computed before and closed over deterministically, so a resumed run
+    rebuilds the identical state (see training_prep_resumable)."""
+    if isinstance(input_paths, str):
+        input_paths = sorted(glob.glob(os.path.join(input_paths, "*.parquet")))
+    partitions = plan_partitions(list(input_paths), files_per_partition)
+    done = M.committed_partitions(out_dir, version)
+    ran: list[int] = []
+    skipped = [pid for pid in range(len(partitions)) if pid in done]
+    for part_id, files in enumerate(partitions):
+        if part_id in done:
+            continue
+        ran.append(_run_one_partition(
+            part_id, files, out_dir, 0, None, version,
+            pipeline_fn=pipeline_fn, counters_fn=counters_fn))
+    summary = M.job_summary(out_dir)
+    summary["partitions_run"] = ran
+    summary["partitions_skipped"] = skipped
+    return summary
 
 
 def run_resumable(input_paths: Union[str, list[str]], out_dir: str, *,

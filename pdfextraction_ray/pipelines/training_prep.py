@@ -110,3 +110,76 @@ def training_prep(ds: "Any", out_dir: Optional[str] = None, *,
         os.makedirs(out_dir, exist_ok=True)
         chunks.write_parquet(out_dir, partition_cols=["split"])
     return chunks
+
+
+PREP_VERSION = "training_prep/1"
+
+
+def training_prep_resumable(input_paths, out_dir: str, *,
+                            min_tokens: int = 50,
+                            files_per_partition: int = 1) -> dict:
+    """Checkpointed training prep: the same curate→dedup→split→chunk
+    semantics as ``training_prep``, partitioned by input file with commit
+    manifests so a killed run resumes (pipelines/runner.run_partitioned).
+
+    The one GLOBAL stage — exact-dedup winner selection — cannot run
+    per-partition (a duplicate pair may span partitions), so winners are
+    recomputed up front on every (re)start as a NARROW full-corpus pass
+    ((text_hash, doc_id) only, min-doc_id per hash) and broadcast as a
+    sorted id array; per-partition pipelines then filter against it. The
+    pass is deterministic, so a resumed run rebuilds the identical winner
+    set and committed partitions stay valid. Output layout differs from
+    ``training_prep``: one directory per input partition (split stays a
+    column) — the manifest, not the split, is the resume unit.
+    """
+    import glob as _glob
+
+    import ray
+    import ray.data as rd
+
+    from .runner import run_partitioned
+
+    if isinstance(input_paths, str):
+        input_paths = sorted(_glob.glob(os.path.join(input_paths,
+                                                     "*.parquet")))
+
+    def score(t: pa.Table) -> pa.Table:
+        t = _quality(t, min_tokens)
+        t = D.md5_hex_batch(t)
+        return t.select(["text_hash", "doc_id"])
+
+    winners_ds = rd.read_parquet(list(input_paths),
+                                 columns=["doc_id", "text"]) \
+        .map_batches(score, batch_format="pyarrow") \
+        .groupby("text_hash").min("doc_id")
+    winner_ids = np.sort(pa.Table.from_pandas(
+        winners_ds.to_pandas(), preserve_index=False)
+        .column("min(doc_id)").to_numpy(zero_copy_only=False))
+    winners_ref = ray.put(winner_ids)
+
+    def pipeline(ds):
+        def keep_winners(t: pa.Table, _ref=winners_ref) -> pa.Table:
+            w = ray.get(_ref)
+            t = _quality(t, min_tokens)
+            ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+            pos = np.searchsorted(w, ids)
+            pos[pos >= len(w)] = max(len(w) - 1, 0)
+            member = (w[pos] == ids) if len(w) else np.zeros(len(ids), bool)
+            return t.filter(pa.array(member)) \
+                .select(["doc_id", "source", "text"])
+
+        def assign_split(t: pa.Table) -> pa.Table:
+            codes, uniq = pd.factorize(
+                t.column("source").to_numpy(zero_copy_only=False))
+            per_src = np.array([_split_of(s) for s in uniq], dtype=object)
+            return t.append_column(
+                "split",
+                pa.array(per_src[codes] if len(t) else [], pa.string()))
+
+        return ds.map_batches(keep_winners, batch_format="pyarrow") \
+            .map_batches(assign_split, batch_format="pyarrow") \
+            .map_batches(_chunk_batch, batch_format="pyarrow")
+
+    return run_partitioned(pipeline, list(input_paths), out_dir,
+                           files_per_partition=files_per_partition,
+                           version=PREP_VERSION)

@@ -60,3 +60,54 @@ def test_training_prep_end_to_end(ray_session):
                     row.chunk_id * CHUNK_STRIDE + CHUNK_WINDOW]
         assert row.chunk_text == " ".join(want)
     shutil.rmtree(OUT, ignore_errors=True)
+
+
+def test_training_prep_resumable_matches_and_resumes(ray_session, tmp_path):
+    """The checkpointed variant produces the same chunk multiset as the
+    one-shot pipeline; deleting one manifest reruns exactly that partition
+    and leaves the total output unchanged."""
+    import glob
+    import os
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from pdfextraction_ray.pipelines.training_prep import (
+        training_prep, training_prep_resumable)
+
+    docs = pq.read_table("/root/testdata/sf0.001/documents.parquet",
+                         columns=["doc_id", "source", "text"])
+    src = tmp_path / "docs"
+    src.mkdir()
+    for i in range(3):
+        pq.write_table(docs.slice(i * 170, 170), src / f"s{i}.parquet")
+
+    out = tmp_path / "prep"
+    s1 = training_prep_resumable(str(src), str(out), min_tokens=50)
+    assert s1["partitions_run"] == [0, 1, 2]
+
+    def chunk_df(path_glob):
+        files = glob.glob(path_glob, recursive=True)
+        t = pa.concat_tables([pq.read_table(f) for f in files])
+        return t.to_pandas().sort_values(
+            ["doc_id", "chunk_id"]).reset_index(drop=True)
+
+    got = chunk_df(str(out / "**" / "*.parquet"))
+    want = training_prep(
+        rd.read_parquet([str(p) for p in sorted(src.iterdir())]),
+        min_tokens=50).to_pandas().sort_values(
+        ["doc_id", "chunk_id"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got[sorted(got.columns)], want[sorted(want.columns)])
+
+    # resume: drop one manifest -> exactly that partition reruns
+    manifests = sorted(glob.glob(str(out / "_manifest" / "*.json")))
+    assert len(manifests) == 3
+    os.remove(manifests[1])
+    s2 = training_prep_resumable(str(src), str(out), min_tokens=50)
+    assert s2["partitions_run"] == [1]
+    assert s2["partitions_skipped"] == [0, 2]
+    got2 = chunk_df(str(out / "**" / "*.parquet"))
+    pd.testing.assert_frame_equal(got, got2)
