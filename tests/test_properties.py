@@ -87,3 +87,84 @@ def test_langid_on_real_language_samples():
     for lang, text in samples.items():
         assert detect_language(text * 3) == lang, lang
     assert detect_language("zzz qqq xxx 123 456 789 000 111 222 333") == "und"
+
+
+# ---------------------------------------------------------------------------
+# round-3 web/graph primitive properties (queries_web)
+# ---------------------------------------------------------------------------
+
+doc_texts = st.lists(
+    st.text(alphabet="ab c", min_size=0, max_size=60),
+    min_size=1, max_size=12)
+
+
+@given(doc_texts)
+@settings(max_examples=60, deadline=None)
+def test_window_hashes_count_and_boundaries(texts):
+    """The flat vectorized window hasher yields exactly max(len-7, 0)
+    windows per doc, windows never cross doc boundaries, and equal 8-gram
+    token sequences hash equally (replayed per doc)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from pdfextraction_ray.queries_web import NGRAM_W, _window_hashes
+
+    col = pa.chunked_array([pa.array(texts, pa.string())])
+    h, n_win = _window_hashes(col)
+    toks = [t.split(" ") for t in texts]
+    expect = [max(len(tk) - NGRAM_W + 1, 0) for tk in toks]
+    assert n_win.tolist() == expect
+    assert len(h) == sum(expect)
+    # per-doc replay: hashing one doc alone gives the same window hashes
+    pos = 0
+    for t, e in zip(texts, expect):
+        if e == 0:
+            continue
+        h1, _ = _window_hashes(pa.chunked_array([pa.array([t], pa.string())]))
+        assert h[pos:pos + e].tolist() == h1.tolist()
+        pos += e
+
+
+@given(st.lists(st.integers(0, 10**6), min_size=1, max_size=200, unique=True),
+       st.integers(1, 4))
+@settings(max_examples=40, deadline=None)
+def test_checksum_split_invariance(ids, n_splits):
+    """The corpus checksum is invariant to how rows are partitioned into
+    batches (the associativity a distributed merge relies on)."""
+    import numpy as np
+
+    from pdfextraction_ray.queries_web import _CK_A, _CK_B, _CK_P
+
+    d = np.array(ids, dtype=np.int64)
+    c = (d * 7 + 13) % 1000  # deterministic fake n_chars
+    whole = int(((d * _CK_A + c * _CK_B) % _CK_P).sum() % _CK_P)
+    parts = np.array_split(np.arange(len(d)), n_splits)
+    acc = 0
+    for p in parts:
+        acc = (acc + int(((d[p] * _CK_A + c[p] * _CK_B) % _CK_P).sum()
+                         % _CK_P)) % _CK_P
+    assert acc == whole
+
+
+@given(st.lists(st.tuples(st.integers(0, 50), st.integers(1, 500)),
+                min_size=1, max_size=120))
+@settings(max_examples=40, deadline=None)
+def test_weighted_sample_priority_batch_invariance(items):
+    """A-Res priorities are per-row deterministic: the global top-k from
+    any batch split equals the top-k of the whole (partial top-k merge
+    correctness)."""
+    import hashlib
+
+    import numpy as np
+
+    ids = np.array([i for i, _ in items], dtype=np.int64)
+    w = np.array([x for _, x in items], dtype=np.float64)
+    u = (np.array([int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16)
+                   for i in ids], dtype=np.float64) + 0.5) / 2**32
+    pri = -np.log(u) / w
+    k = 10
+    whole = sorted(zip(pri, ids))[:k]
+    merged = []
+    for part in np.array_split(np.arange(len(ids)), 3):
+        merged += sorted(zip(pri[part], ids[part]))[:k]
+    assert sorted(merged)[:k] == whole
