@@ -105,3 +105,46 @@ def test_resume_clears_stale_uncommitted_output(tmp_path, corpus, ray_session):
     s = R.run_resumable(corpus, out, files_per_partition=1, concurrency=2)
     assert s["partitions_run"] == [1]
     assert s["counters"]["docs"] == 60  # not 80: stale files were cleared
+
+
+def test_run_partitioned_failure_leaves_no_manifest(ray_session, tmp_path):
+    """A pipeline that dies mid-partition commits nothing for it; the rerun
+    picks up exactly the failed partition (the generic runner inherits the
+    flagship crash contract)."""
+    import glob
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pdfextraction_ray.pipelines.runner import run_partitioned
+
+    src = tmp_path / "in"
+    src.mkdir()
+    for i in range(3):
+        pq.write_table(pa.table({"x": list(range(i * 10, i * 10 + 10))}),
+                       src / f"f{i}.parquet")
+    out = tmp_path / "out"
+    calls = []
+
+    def flaky(ds):
+        def fn(t: pa.Table) -> pa.Table:
+            if 15 in t.column("x").to_pylist():  # partition 1 poisons
+                raise RuntimeError("boom")
+            return t
+        return ds.map_batches(fn, batch_format="pyarrow")
+
+    import pytest
+    with pytest.raises(Exception):
+        run_partitioned(flaky, str(src), str(out), version="v1")
+    committed = glob.glob(str(out / "_manifest" / "*.json"))
+    assert len(committed) == 1  # partition 0 only
+
+    def ok(ds):
+        return ds.map_batches(lambda t: t, batch_format="pyarrow")
+
+    s = run_partitioned(ok, str(src), str(out), version="v1")
+    assert s["partitions_run"] == [1, 2]
+    assert s["partitions_skipped"] == [0]
+    rows = sum(pq.read_metadata(p).num_rows for p in
+               glob.glob(str(out / "**" / "*.parquet"), recursive=True))
+    assert rows == 30
