@@ -140,13 +140,13 @@ def q_weighted_sample(sf_dir: str, k: int = WEIGHTED_SAMPLE_K) -> pa.Table:
     return out.select(["doc_id", "n_chars"]).sort_by([("doc_id", "ascending")])
 
 
-SQL_WEIGHTED_SAMPLE = """
+SQL_WEIGHTED_SAMPLE = f"""
 SELECT doc_id, n_chars FROM (
   SELECT doc_id, n_chars,
          -ln((CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
               AS UBIGINT) + 0.5) / 4294967296.0) / n_chars AS pri
   FROM documents
-  ORDER BY pri, doc_id LIMIT 100)
+  ORDER BY pri, doc_id LIMIT {WEIGHTED_SAMPLE_K})
 ORDER BY doc_id
 """
 
@@ -346,18 +346,20 @@ def _pagerank_sql() -> str:
         iters.append(f"""
  r{i} AS (
   SELECT d.doc_id,
-         0.15 / {n} + 0.85 * coalesce(s.m, 0) AS r
+         {1 - PAGERANK_D} / {n} + {PAGERANK_D} * coalesce(s.m, 0) AS r
   FROM documents d LEFT JOIN (
-    SELECT e.dst AS doc_id, sum({prev}.r) / 3 AS m
+    SELECT e.dst AS doc_id, sum({prev}.r) / {PAGERANK_FANOUT} AS m
     FROM e JOIN {prev} ON {prev}.doc_id = e.src GROUP BY e.dst) s
   USING (doc_id))""")
         prev = f"r{i}"
+    js = ", ".join(str(j) for j in range(PAGERANK_FANOUT))
     return f"""
 WITH e AS (
   SELECT doc_id AS src,
-         CAST(CAST(('0x' || substr(md5(CAST(doc_id * 3 + j AS VARCHAR)), 1, 8))
+         CAST(CAST(('0x' || substr(md5(CAST(doc_id * {PAGERANK_FANOUT} + j
+              AS VARCHAR)), 1, 8))
               AS UBIGINT) % {n} AS BIGINT) AS dst
-  FROM documents, UNNEST([0, 1, 2]) AS t(j)),
+  FROM documents, UNNEST([{js}]) AS t(j)),
  r0 AS (SELECT doc_id, 1.0 / {n} AS r FROM documents),{','.join(iters)}
 SELECT doc_id, ROUND(r * 1000000, 3) AS rank_ppm
 FROM {prev} ORDER BY doc_id
@@ -391,17 +393,26 @@ CC_BLOCK = 8
 CC_FANOUT = 2
 
 
+def _block_edges(t: pa.Table, n: int) -> tuple:
+    """(src, dst) arrays of the synthesized block-local graph — the ONE
+    edge definition shared by q_connected_components, q_triangle_count and
+    their SQL generators (constants interpolated there from the same
+    module values, so an edit cannot desynchronize the sides)."""
+    src = np.repeat(t.column("doc_id").to_numpy(zero_copy_only=False),
+                    CC_FANOUT)
+    j = np.tile(np.arange(CC_FANOUT, dtype=np.int64), len(t))
+    dst = (src - src % CC_BLOCK) + \
+        (_md5_u32(src * CC_FANOUT + j).astype(np.int64)) % CC_BLOCK
+    dst = np.minimum(dst, n - 1)  # last partial block stays in range
+    return src, dst
+
+
 def q_connected_components(sf_dir: str) -> pa.Table:
     path = _p(sf_dir, "documents")
     n = pq.read_metadata(path).num_rows
 
     def gen_edges(t: pa.Table) -> pa.Table:
-        src = np.repeat(t.column("doc_id").to_numpy(zero_copy_only=False),
-                        CC_FANOUT)
-        j = np.tile(np.arange(CC_FANOUT, dtype=np.int64), len(t))
-        dst = (src - src % CC_BLOCK) + \
-            (_md5_u32(src * CC_FANOUT + j).astype(np.int64)) % CC_BLOCK
-        dst = np.minimum(dst, n - 1)  # last partial block stays in range
+        src, dst = _block_edges(t, n)
         return pa.Table.from_pydict({
             "src": pa.array(src, pa.int64()),
             "dst": pa.array(dst, pa.int64())})
@@ -465,7 +476,7 @@ WITH e AS MATERIALIZED (
                + CAST(CAST(('0x' || substr(md5(CAST(doc_id * {CC_FANOUT} + j
                      AS VARCHAR)), 1, 8)) AS UBIGINT) % {CC_BLOCK} AS BIGINT),
                {n} - 1) AS dst
-  FROM documents, UNNEST([0, 1]) AS t(j)),
+  FROM documents, UNNEST([{", ".join(str(j) for j in range(CC_FANOUT))}]) AS t(j)),
  sym AS MATERIALIZED (SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e),
  l0 AS (SELECT doc_id, doc_id AS l FROM documents),{','.join(rounds)}
 SELECT doc_id, l AS component FROM {prev} ORDER BY doc_id
@@ -502,9 +513,9 @@ def q_value_percentiles_hist(sf_dir: str) -> pa.Table:
         g = g.select(["event_type", "value_min", "value_max"])
         return g.rename_columns(["event_type", "lo", "hi"])
 
-    from ray.data.aggregate import Max as _Max, Min as _Min
+    from ray.data.aggregate import Max as _Max
     mm = ds.map_batches(minmax_partial, batch_format="pyarrow") \
-        .groupby("event_type").aggregate(_Min("lo", alias_name="lo"),
+        .groupby("event_type").aggregate(Min("lo", alias_name="lo"),
                                          _Max("hi", alias_name="hi"))
     mm_t = pa.Table.from_pandas(mm.to_pandas(), preserve_index=False) \
         .sort_by([("event_type", "ascending")])
@@ -548,6 +559,11 @@ def q_value_percentiles_hist(sf_dir: str) -> pa.Table:
         cum = np.cumsum(ns)
         total = cum[-1]
         for p in _HIST_PCTS:
+            if hi[gi] <= lo[gi]:
+                # degenerate group (all values equal): every percentile IS
+                # lo — the fallback bin width must not leak into estimates
+                out[f"p{p}"].append(round(float(lo[gi]), 4))
+                continue
             target = int(np.ceil(p / 100.0 * total))
             i = int(np.searchsorted(cum, max(target, 1)))
             # estimate: left edge + fractional position inside the bin
@@ -587,7 +603,7 @@ def q_rolling_event_stats(sf_dir: str) -> pa.Table:
         n = len(v)
         s = v.copy()
         for k in range(1, ROLL_W):
-            s[k:] += v[:-k] if k else v
+            s[k:] += v[:-k]
         cnt = np.minimum(np.arange(n) + 1, ROLL_W).astype(np.float64)
         rm = pa.array(s / cnt, pa.float64())
         rm = pc.round(rm, ndigits=4,
@@ -747,7 +763,13 @@ def q_customer_event_full_outer(sf_dir: str) -> pa.Table:
 
     def finish(t: pa.Table) -> pa.Table:
         ab = t.column("acctbal").to_numpy(zero_copy_only=False)
-        ab = np.where(ab <= _ACCTBAL_SENTINEL, -1.0, np.round(ab, 4))
+        missing = ab <= _ACCTBAL_SENTINEL
+        # file convention: pc.round half_towards_infinity == DuckDB ROUND
+        # (away-from-zero on halves; np.round is half-to-even)
+        rounded = pc.round(pa.array(ab, pa.float64()), ndigits=4,
+                           round_mode="half_towards_infinity") \
+            .to_numpy(zero_copy_only=False)
+        ab = np.where(missing, -1.0, rounded)
         return t.set_column(t.schema.get_field_index("acctbal"), "acctbal",
                             pa.array(ab, pa.float64()).cast(pa.float32()))
 
@@ -837,12 +859,7 @@ def q_triangle_count(sf_dir: str) -> pa.Table:
     n = pq.read_metadata(path).num_rows
 
     def gen_edges(t: pa.Table) -> pa.Table:
-        src = np.repeat(t.column("doc_id").to_numpy(zero_copy_only=False),
-                        CC_FANOUT)
-        j = np.tile(np.arange(CC_FANOUT, dtype=np.int64), len(t))
-        dst = (src - src % CC_BLOCK) + \
-            (_md5_u32(src * CC_FANOUT + j).astype(np.int64)) % CC_BLOCK
-        dst = np.minimum(dst, n - 1)
+        src, dst = _block_edges(t, n)
         a, b = np.minimum(src, dst), np.maximum(src, dst)
         keep = a < b  # drop self-loops
         uniq = np.unique(np.stack([a[keep], b[keep]], axis=1), axis=0)
@@ -899,7 +916,7 @@ WITH raw AS MATERIALIZED (
                + CAST(CAST(('0x' || substr(md5(CAST(doc_id * {CC_FANOUT} + j
                      AS VARCHAR)), 1, 8)) AS UBIGINT) % {CC_BLOCK} AS BIGINT),
                {n} - 1) AS dst
-  FROM documents, UNNEST([0, 1]) AS t(j)),
+  FROM documents, UNNEST([{", ".join(str(j) for j in range(CC_FANOUT))}]) AS t(j)),
  e AS MATERIALIZED (
   SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
   FROM raw WHERE src <> dst)
@@ -1047,11 +1064,16 @@ def q_orders_rollup(sf_dir: str) -> pa.Table:
 
     prio = d.column("prio").to_pylist()
     yr = [str(y) for y in d.column("yr").to_pylist()]
-    rev = d.column("rev").to_numpy(zero_copy_only=False)
+    # detail cells round FIRST (np.round's multiply-round-divide snaps to
+    # the nearest double of the 2-decimal value exactly like DuckDB ROUND;
+    # pc.round leaves ...35000001 artifacts at ~1e8 magnitude), and the
+    # coarser levels sum the ROUNDED cells — summing raw values would let
+    # the two engines' different base-row summation orders drift past the
+    # half-cent snap margin on the grand total at large scale factors. The
+    # SQL oracle mirrors this exactly (subtotals over the detail CTE).
+    rev = np.round(d.column("rev").to_numpy(zero_copy_only=False), 2)
     n = d.column("n").to_numpy(zero_copy_only=False)
     rows = list(zip(prio, yr, rev, n))
-    # level 1: per priority; level 0: grand total — driver-side rollup of
-    # the result-sized detail table, in sorted detail order
     by_prio: dict = {}
     for p, _, r, c in rows:
         s = by_prio.setdefault(p, [0.0, 0])
@@ -1062,10 +1084,6 @@ def q_orders_rollup(sf_dir: str) -> pa.Table:
     out = pa.table({
         "prio": pa.array([r[0] for r in rows], pa.string()),
         "yr": pa.array([r[1] for r in rows], pa.string()),
-        # np.round (multiply-round-divide) snaps to the nearest double of
-        # the 2-decimal value exactly like DuckDB ROUND; pc.round does not
-        # at ~1e8 magnitude (leaves ...35000001 artifacts) — bit-exactness
-        # at the driver gate requires the snap
         "revenue": pa.array(np.round([float(r[2]) for r in rows], 2),
                             pa.float64()),
         "n_orders": pa.array([int(r[3]) for r in rows], pa.int64())})
@@ -1073,13 +1091,17 @@ def q_orders_rollup(sf_dir: str) -> pa.Table:
 
 
 SQL_ORDERS_ROLLUP = """
-SELECT coalesce(o_orderpriority, 'ALL') AS prio,
-       coalesce(CAST(yr AS VARCHAR), 'ALL') AS yr,
-       ROUND(SUM(o_totalprice), 2) AS revenue,
-       count(*) AS n_orders
-FROM (SELECT o_orderpriority, year(o_orderdate) AS yr, o_totalprice
-      FROM orders) s
-GROUP BY ROLLUP (o_orderpriority, yr)
+WITH detail AS (
+  SELECT o_orderpriority AS prio, CAST(year(o_orderdate) AS VARCHAR) AS yr,
+         ROUND(SUM(o_totalprice), 2) AS revenue, count(*) AS n_orders
+  FROM orders GROUP BY prio, yr)
+SELECT prio, yr, revenue, n_orders FROM detail
+UNION ALL
+SELECT prio, 'ALL', ROUND(SUM(revenue), 2), CAST(SUM(n_orders) AS BIGINT)
+FROM detail GROUP BY prio
+UNION ALL
+SELECT 'ALL', 'ALL', ROUND(SUM(revenue), 2), CAST(SUM(n_orders) AS BIGINT)
+FROM detail
 ORDER BY prio, yr
 """
 
