@@ -59,12 +59,15 @@ def avi_encode(frames: List[np.ndarray], fps: int = 10,
                  + _list(b"strl", _chunk(b"strh", strh)
                          + _chunk(b"strf", strf)))
 
-    movi_body = b"movi"
+    movi_parts = [b"movi"]
     offsets = []
+    off = 4
     for p in payloads:
-        offsets.append(len(movi_body))
-        movi_body += _chunk(b"00dc", p)
-    movi = _chunk(b"LIST", movi_body)
+        offsets.append(off)
+        ch = _chunk(b"00dc", p)
+        movi_parts.append(ch)
+        off += len(ch)
+    movi = _chunk(b"LIST", b"".join(movi_parts))
 
     idx = b"".join(struct.pack("<4sIII", b"00dc", 0x10, off, len(p))
                    for off, p in zip(offsets, payloads))
@@ -91,7 +94,15 @@ def avi_frames(data: bytes) -> List[bytes]:
                 sc = data[sub:sub + 4]
                 ssize = struct.unpack("<I", data[sub + 4:sub + 8])[0]
                 if sc in (b"00dc", b"00db"):
-                    out.append(data[sub + 8:sub + 8 + ssize])
+                    frame = data[sub + 8:sub + 8 + ssize]
+                    if len(frame) < ssize:
+                        # declared size runs past the buffer: a truncated
+                        # payload must fail HERE, not as a downstream JPEG
+                        # decode error on a silently short frame
+                        raise ValueError(
+                            "truncated frame chunk (declared %d bytes, %d "
+                            "available)" % (ssize, len(frame)))
+                    out.append(frame)
                 sub += 8 + ssize + (ssize % 2)
         pos = body_start + size + (size % 2)
     if not out:

@@ -135,7 +135,9 @@ def run_partitioned(pipeline_fn, input_paths: Union[str, list[str]],
     if isinstance(input_paths, str):
         input_paths = sorted(glob.glob(os.path.join(input_paths, "*.parquet")))
     partitions = plan_partitions(list(input_paths), files_per_partition)
-    done = M.committed_partitions(out_dir, version)
+    done = M.committed_partitions(
+        out_dir, version,
+        expected_inputs={i: f for i, f in enumerate(partitions)})
     ran: list[int] = []
     skipped = [pid for pid in range(len(partitions)) if pid in done]
     for part_id, files in enumerate(partitions):
@@ -182,7 +184,9 @@ def run_resumable(input_paths: Union[str, list[str]], out_dir: str, *,
     if isinstance(input_paths, str):
         input_paths = sorted(glob.glob(os.path.join(input_paths, "*.parquet")))
     partitions = plan_partitions(list(input_paths), files_per_partition)
-    done = M.committed_partitions(out_dir, parser_version)
+    done = M.committed_partitions(
+        out_dir, parser_version,
+        expected_inputs={i: f for i, f in enumerate(partitions)})
     todo = [(pid, files) for pid, files in enumerate(partitions) if pid not in done]
     skipped = [pid for pid in range(len(partitions)) if pid in done]
     ran: list[int] = []

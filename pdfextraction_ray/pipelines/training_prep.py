@@ -46,6 +46,19 @@ def _quality(t: pa.Table, min_tokens: int) -> pa.Table:
     return t.filter(keep)
 
 
+def _assign_split(t: pa.Table) -> pa.Table:
+    """Append the domain-hash split column; hashed once per UNIQUE source.
+    Null sources get the deterministic empty-string split (pd.factorize
+    emits code -1 for nulls — indexing per_src with it would wrap to the
+    LAST unique source's split, nondeterministically per batch)."""
+    src = t.column("source").to_numpy(zero_copy_only=False)
+    codes, uniq = pd.factorize(src)
+    per_src = np.array([_split_of(s) for s in uniq] + [_split_of("")],
+                       dtype=object)  # [-1] = the null sentinel
+    return t.append_column(
+        "split", pa.array(per_src[codes] if len(t) else [], pa.string()))
+
+
 def _chunk_batch(t: pa.Table) -> pa.Table:
     parent, vals = _flatten_tokens(t)
     doc_ids = t.column("doc_id").to_numpy(zero_copy_only=False)
@@ -81,32 +94,37 @@ def training_prep(ds: "Any", out_dir: Optional[str] = None, *,
     def score(t: pa.Table) -> pa.Table:
         t = _quality(t, min_tokens)
         t = D.md5_hex_batch(t)
-        return t.select(["doc_id", "source", "text", "text_hash"])
+        return t.select(["text_hash", "doc_id"])
 
-    scored = ds.map_batches(score, batch_format="pyarrow")
+    def quality_only(t: pa.Table) -> pa.Table:
+        return _quality(t, min_tokens).select(["doc_id", "source", "text"])
 
-    # narrow dedup: only (text_hash, doc_id) shuffles; winner = min doc_id
-    winners_ds = scored.select_columns(["text_hash", "doc_id"]) \
+    # narrow dedup: only (text_hash, doc_id) shuffles; winner = min doc_id.
+    # The winner pass and the probe pass each consume ``ds`` once (Ray Data
+    # re-executes lineage per consumption — the scale-right choice over a
+    # corpus-sized materialize); the per-row md5 runs ONLY on the winner
+    # pass, the probe re-runs just the vectorized quality kernels.
+    winners_ds = ds.map_batches(score, batch_format="pyarrow") \
         .groupby("text_hash").min("doc_id")
     winners = pa.Table.from_pandas(winners_ds.to_pandas(),
                                    preserve_index=False)
     winners = pa.table({"doc_id": winners.column("min(doc_id)")})
 
-    kept = bucketed_join(scored.select_columns(["doc_id", "source", "text"]),
+    kept = bucketed_join(ds.map_batches(quality_only, batch_format="pyarrow"),
                          winners, probe_key="doc_id", build_key="doc_id",
                          value_cols=[], join_type="inner",
                          n_buckets=n_buckets)
 
-    def assign_split(t: pa.Table) -> pa.Table:
-        codes, uniq = pd.factorize(
-            t.column("source").to_numpy(zero_copy_only=False))
-        per_src = np.array([_split_of(s) for s in uniq], dtype=object)
-        return t.append_column(
-            "split", pa.array(per_src[codes] if len(t) else [], pa.string()))
-
-    chunks = kept.map_batches(assign_split, batch_format="pyarrow") \
+    chunks = kept.map_batches(_assign_split, batch_format="pyarrow") \
         .map_batches(_chunk_batch, batch_format="pyarrow")
     if out_dir is not None:
+        # write_parquet APPENDS uniquely-named files: a rerun into a dir
+        # holding a previous attempt would silently double every chunk
+        # (same contract as runner._run_one_partition's stale-dir clear)
+        import shutil as _sh
+        for d in (os.listdir(out_dir) if os.path.isdir(out_dir) else ()):
+            if d.startswith("split="):
+                _sh.rmtree(os.path.join(out_dir, d), ignore_errors=True)
         os.makedirs(out_dir, exist_ok=True)
         chunks.write_parquet(out_dir, partition_cols=["split"])
     return chunks
@@ -168,18 +186,13 @@ def training_prep_resumable(input_paths, out_dir: str, *,
             return t.filter(pa.array(member)) \
                 .select(["doc_id", "source", "text"])
 
-        def assign_split(t: pa.Table) -> pa.Table:
-            codes, uniq = pd.factorize(
-                t.column("source").to_numpy(zero_copy_only=False))
-            per_src = np.array([_split_of(s) for s in uniq], dtype=object)
-            return t.append_column(
-                "split",
-                pa.array(per_src[codes] if len(t) else [], pa.string()))
-
         return ds.map_batches(keep_winners, batch_format="pyarrow") \
-            .map_batches(assign_split, batch_format="pyarrow") \
+            .map_batches(_assign_split, batch_format="pyarrow") \
             .map_batches(_chunk_batch, batch_format="pyarrow")
 
+    # the quality threshold changes every partition's content, so it is
+    # part of the commit version: resuming with a different min_tokens
+    # invalidates prior partitions instead of mixing two filter semantics
     return run_partitioned(pipeline, list(input_paths), out_dir,
                            files_per_partition=files_per_partition,
-                           version=PREP_VERSION)
+                           version=f"{PREP_VERSION}/min_tokens={min_tokens}")

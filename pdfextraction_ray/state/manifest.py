@@ -70,9 +70,16 @@ def read_manifest(out_dir: str, part_id: int) -> Optional[dict[str, Any]]:
         return None  # torn/corrupt manifest counts as uncommitted
 
 
-def committed_partitions(out_dir: str, parser_version: str) -> set[int]:
+def committed_partitions(out_dir: str, parser_version: str,
+                         expected_inputs: Optional[dict] = None) -> set[int]:
     """Partition ids safely skippable on resume: manifest readable AND parser
-    version matches."""
+    version matches AND (when ``expected_inputs`` — {part_id: [files]} from
+    the CURRENT partition plan — is given) the manifest's recorded input
+    files equal the plan's. The lineage check catches input-set changes
+    between runs (added/removed shards, different files_per_partition):
+    partition ids shift with the plan, so a committed manifest whose inputs
+    no longer match must rerun rather than masquerade as the new
+    partition's output."""
     mdir = os.path.join(out_dir, MANIFEST_DIR)
     done: set[int] = set()
     if not os.path.isdir(mdir):
@@ -85,8 +92,13 @@ def committed_partitions(out_dir: str, parser_version: str) -> set[int]:
         except ValueError:
             continue
         rec = read_manifest(out_dir, part_id)
-        if rec and rec.get("parser_version") == parser_version:
-            done.add(part_id)
+        if not rec or rec.get("parser_version") != parser_version:
+            continue
+        if expected_inputs is not None and \
+                rec.get("input_files") != sorted(
+                    expected_inputs.get(part_id, ())):
+            continue
+        done.add(part_id)
     return done
 
 

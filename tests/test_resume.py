@@ -148,3 +148,35 @@ def test_run_partitioned_failure_leaves_no_manifest(ray_session, tmp_path):
     rows = sum(pq.read_metadata(p).num_rows for p in
                glob.glob(str(out / "**" / "*.parquet"), recursive=True))
     assert rows == 30
+
+
+def test_resume_detects_input_set_change(ray_session, tmp_path):
+    """Adding an input shard shifts partition ids; committed manifests whose
+    recorded inputs no longer match the new plan must rerun instead of
+    masquerading as other partitions' output."""
+    import glob
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pdfextraction_ray.pipelines.runner import run_partitioned
+
+    src = tmp_path / "in"
+    src.mkdir()
+    for name in ("b.parquet", "c.parquet"):
+        pq.write_table(pa.table({"x": [1, 2, 3]}), src / name)
+    out = tmp_path / "out"
+
+    def ident(ds):
+        return ds.map_batches(lambda t: t, batch_format="pyarrow")
+
+    s1 = run_partitioned(ident, str(src), str(out), version="v1")
+    assert s1["partitions_run"] == [0, 1]
+
+    # new shard sorts FIRST -> every partition id shifts
+    pq.write_table(pa.table({"x": [9]}), src / "a.parquet")
+    s2 = run_partitioned(ident, str(src), str(out), version="v1")
+    assert s2["partitions_run"] == [0, 1, 2]  # nothing skippable
+    rows = sum(pq.read_metadata(p).num_rows for p in
+               glob.glob(str(out / "**" / "*.parquet"), recursive=True))
+    assert rows == 7
