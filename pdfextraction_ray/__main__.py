@@ -98,7 +98,11 @@ def main(argv: list[str] | None = None) -> int:
 
             from .pipelines.full_pipeline import run_full_pipeline
 
-            paths = sorted(glob.glob(os.path.join(args.input, "*.parquet")))
+            paths = sorted(glob.glob(os.path.join(args.input, "**",
+                                                  "*.parquet"),
+                                     recursive=True))
+            if not paths:
+                raise SystemExit(f"no parquet files under {args.input}")
             summary = run_full_pipeline(paths, args.out, lang=args.lang,
                                         dedup=not args.no_dedup)
             print(json.dumps(summary))
@@ -138,7 +142,10 @@ def main(argv: list[str] | None = None) -> int:
             rd.read_parquet(files).repartition(n_out).write_parquet(args.out)
             out_files = glob.glob(os.path.join(args.out, "*.parquet"))
             out_rows = sum(pq.read_metadata(p).num_rows for p in out_files)
-            assert out_rows == rows, (out_rows, rows)
+            if out_rows != rows:  # not assert: must survive python -O
+                raise RuntimeError(
+                    f"compaction row mismatch: wrote {out_rows}, "
+                    f"expected {rows}")
             print(json.dumps({"in_files": len(files), "out_files":
                               len(out_files), "rows": rows,
                               "in_mb": round(total / 1e6, 1)}))
@@ -168,16 +175,22 @@ def main(argv: list[str] | None = None) -> int:
             import glob
             import os
             import shutil
+            import tempfile
 
             from .pipelines.extract_pipeline import extract_pipeline
 
-            paths = sorted(glob.glob(os.path.join(args.input, "*.parquet")))
-            tmp = "/tmp/pdfextraction_ray_stats_out"
-            shutil.rmtree(tmp, ignore_errors=True)
-            ds = extract_pipeline(paths)
-            ds.write_parquet(tmp)
-            print(ds.stats())
-            shutil.rmtree(tmp, ignore_errors=True)
+            paths = sorted(glob.glob(os.path.join(args.input, "**",
+                                                  "*.parquet"),
+                                     recursive=True))
+            if not paths:
+                raise SystemExit(f"no parquet files under {args.input}")
+            tmp = tempfile.mkdtemp(prefix="pdfx_stats_")  # per-invocation
+            try:
+                ds = extract_pipeline(paths)
+                ds.write_parquet(tmp)
+                print(ds.stats())
+            finally:
+                shutil.rmtree(tmp, ignore_errors=True)
     finally:
         ray.shutdown()
     return 0

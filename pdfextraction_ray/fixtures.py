@@ -366,7 +366,7 @@ def build_media_table(n_rows: int, seed: int = 42) -> "pa.Table":
 
     ids, images, audios = [], [], []
     for i in range(n_rows):
-        rng = np.random.RandomState((seed << 16) ^ i)
+        rng = np.random.RandomState(((seed << 16) ^ i) % (1 << 32))
         h = 8 + int(rng.randint(0, 40))
         w = 8 + int(rng.randint(0, 40))
         img = rng.randint(0, 256, size=(h, w, 3)).astype(np.uint8)
@@ -395,7 +395,7 @@ def build_video_table(n_rows: int, seed: int = 42) -> "pa.Table":
 
     ids, videos = [], []
     for i in range(n_rows):
-        rng = np.random.RandomState((seed << 16) ^ 0x51DE0 ^ i)
+        rng = np.random.RandomState(((seed << 16) ^ 0x51DE0 ^ i) % (1 << 32))
         n_frames = 3 + int(rng.randint(0, 4))
         frames = [rng.randint(0, 256, size=(16, 16, 3)).astype(np.uint8)
                   for _ in range(n_frames)]

@@ -38,6 +38,17 @@ IMAGE_META_TYPE = pa.struct([("width", pa.int32()), ("height", pa.int32()),
 IMAGE_FEATURES_TYPE = pa.list_(pa.float32())
 
 
+def _drop_status(batch: pa.Table) -> pa.Table:
+    """Each media stage REPLACES the per-row decode status: chaining two
+    stages over a multi-media table must not produce duplicate
+    decode_ok/decode_error columns (an exact duplicate name breaks
+    column(), select_columns and parquet writes). Per-stage results live
+    on in the namespaced meta/feature columns."""
+    drop = [c for c in ("decode_ok", "decode_error")
+            if c in batch.column_names]
+    return batch.drop_columns(drop) if drop else batch
+
+
 def _fake_decode(payload: bytes, max_side: int = 64) -> np.ndarray:
     """Deterministic stand-in decode: dimensions and pixels derived from the
     payload digest. Replaces PIL.Image.open in this sandbox."""
@@ -65,27 +76,42 @@ class ImageDecodeStage:
         self.resize_to = resize_to
         self.allow_fake = allow_fake
 
-    def _decode(self, payload: bytes) -> tuple[np.ndarray, str]:
+    @staticmethod
+    def _to_rgb(arr: np.ndarray) -> tuple[np.ndarray, int]:
+        """(3-channel RGB view, NATIVE channel count). Features are always
+        fixed-width 3 so consumers can stack them across a mixed-format
+        corpus; the meta column keeps the file's true channel count.
+        Gray / gray+alpha replicate luma; RGBA drops alpha."""
+        if arr.ndim == 2:
+            return np.stack([arr] * 3, axis=-1), 1
+        native = arr.shape[2]
+        if native == 1:
+            return np.repeat(arr, 3, axis=2), 1
+        if native == 2:  # grayscale + alpha
+            return np.repeat(arr[:, :, :1], 3, axis=2), 2
+        if native == 4:
+            return arr[:, :, :3], 4
+        return arr, native
+
+    def _decode(self, payload: bytes) -> tuple[np.ndarray, str, int]:
         if codecs.is_png(payload):
-            arr = codecs.png_decode(payload)
+            arr, native = self._to_rgb(codecs.png_decode(payload))
             if self.resize_to:
                 arr = codecs.downsample_nearest(arr, self.resize_to)
-            return arr, "png"
+            return arr, "png", native
         if jpeg.is_jpeg(payload):
-            arr = jpeg.jpeg_decode(payload)  # baseline sequential (native)
-            if arr.ndim == 2:
-                arr = np.stack([arr] * 3, axis=-1)
+            arr, native = self._to_rgb(jpeg.jpeg_decode(payload))
             if self.resize_to:
                 arr = codecs.downsample_nearest(arr, self.resize_to)
-            return arr, "jpeg"
+            return arr, "jpeg", native
         if _HAVE_PIL:  # pragma: no cover - library absent in this env
             import io
             img = Image.open(io.BytesIO(payload)).convert("RGB")
             if self.resize_to:
                 img = img.resize((self.resize_to, self.resize_to))
-            return np.asarray(img), "rgb8"
+            return np.asarray(img), "rgb8", 3
         if self.allow_fake:
-            return _fake_decode(payload), "fake-rgb8"
+            return _fake_decode(payload), "fake-rgb8", 3
         raise ValueError(
             "payload is not PNG/JPEG and no other image codec is installed; "
             "pass "
@@ -94,20 +120,24 @@ class ImageDecodeStage:
     def __call__(self, batch: pa.Table) -> pa.Table:
         metas, feats, oks, errs = [], [], [], []
         for payload in batch.column(self.image_col).to_pylist():
+            # compute the whole row BEFORE appending: a mid-row exception
+            # must not leave half-appended parallel lists (the except path
+            # would append again and misalign the batch)
             try:
-                arr, fmt = self._decode(payload or b"")
-                metas.append({"width": arr.shape[1], "height": arr.shape[0],
-                              "channels": arr.shape[2], "format": fmt})
-                feats.append(arr.reshape(-1, arr.shape[2]).mean(axis=0)
-                             .astype(np.float32).tolist())
-                oks.append(True)
-                errs.append(None)
+                arr, fmt, native = self._decode(payload or b"")
+                meta = {"width": arr.shape[1], "height": arr.shape[0],
+                        "channels": native, "format": fmt}
+                feat = arr.reshape(-1, arr.shape[2]).mean(axis=0) \
+                    .astype(np.float32).tolist()
+                row = (meta, feat, True, None)
             except Exception as exc:
-                metas.append(None)
-                feats.append(None)
-                oks.append(False)
-                errs.append(f"{type(exc).__name__}: {exc}")
+                row = (None, None, False, f"{type(exc).__name__}: {exc}")
+            metas.append(row[0])
+            feats.append(row[1])
+            oks.append(row[2])
+            errs.append(row[3])
         batch = batch.drop_columns([self.image_col])  # wide payload ends here
+        batch = _drop_status(batch)
         batch = batch.append_column("image_meta", pa.array(metas, IMAGE_META_TYPE))
         batch = batch.append_column("image_features",
                                     pa.array(feats, IMAGE_FEATURES_TYPE))
@@ -148,20 +178,30 @@ class AudioFeatureStage:
     def __call__(self, batch: pa.Table) -> pa.Table:
         metas, feats, oks, errs = [], [], [], []
         for payload in batch.column(self.audio_col).to_pylist():
+            # row computed fully before the appends (append-atomicity, see
+            # ImageDecodeStage)
             try:
                 pcm, sr = self._decode(payload or b"")
-                bands = np.array_split(np.abs(np.fft.rfft(pcm)), self.n_bands)
-                metas.append({"sample_rate": sr, "n_samples": len(pcm),
-                              "duration_s": len(pcm) / sr})
-                feats.append([float(np.mean(b)) for b in bands])
-                oks.append(True)
-                errs.append(None)
+                spec = np.abs(np.fft.rfft(pcm))
+                if len(spec) < self.n_bands:
+                    # np.array_split would yield EMPTY bands whose mean is
+                    # silently NaN with decode_ok=True — too-short clips
+                    # are a captured failure instead
+                    raise ValueError(
+                        f"clip too short: {len(spec)} spectrum bins < "
+                        f"{self.n_bands} bands")
+                bands = np.array_split(spec, self.n_bands)
+                meta = {"sample_rate": sr, "n_samples": len(pcm),
+                        "duration_s": len(pcm) / sr}
+                row = (meta, [float(np.mean(b)) for b in bands], True, None)
             except Exception as exc:
-                metas.append(None)
-                feats.append(None)
-                oks.append(False)
-                errs.append(f"{type(exc).__name__}: {exc}")
+                row = (None, None, False, f"{type(exc).__name__}: {exc}")
+            metas.append(row[0])
+            feats.append(row[1])
+            oks.append(row[2])
+            errs.append(row[3])
         batch = batch.drop_columns([self.audio_col])
+        batch = _drop_status(batch)
         batch = batch.append_column("audio_meta", pa.array(metas, AUDIO_META_TYPE))
         batch = batch.append_column("audio_features",
                                     pa.array(feats, pa.list_(pa.float64())))
@@ -202,7 +242,17 @@ class FrameSampleStage:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids, frame_nos, digests, lumas, oks, errs = [], [], [], [], [], []
-        id_col = "url" if "url" in batch.column_names else batch.column_names[0]
+        # id fallback must never pick the video payload itself (a binary
+        # column replicated per frame row is a silent memory blowup)
+        non_payload = [c for c in batch.column_names if c != self.video_col]
+        if "url" in batch.column_names:
+            id_col = "url"
+        elif non_payload:
+            id_col = non_payload[0]
+        else:
+            batch = batch.append_column(
+                "row_id", pa.array(np.arange(len(batch)), pa.int64()))
+            id_col = "row_id"
         for rid, payload in zip(batch.column(id_col).to_pylist(),
                                 batch.column(self.video_col).to_pylist()):
             try:

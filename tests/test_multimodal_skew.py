@@ -200,3 +200,60 @@ def test_add_domain_and_salt_no_python_loop_hot_path():
     assert salts == b.column("domain_salt").to_pylist()
     assert len(set(salts)) <= 8 and len(set(salts)) >= 2
     assert all(0 <= s < 2**31 for s in salts)
+
+
+def test_stage_chaining_no_duplicate_status_columns():
+    """Chaining image + audio stages over a two-media table must not
+    produce duplicate decode_ok/decode_error columns (the later stage
+    replaces the per-row status)."""
+    from pdfextraction_ray.fixtures import build_media_table
+    from pdfextraction_ray.stages.multimodal import AudioFeatureStage
+
+    t = build_media_table(4)
+    out = AudioFeatureStage(allow_fake=False)(
+        ImageDecodeStage(allow_fake=False)(t))
+    assert out.column_names.count("decode_ok") == 1
+    assert out.column_names.count("decode_error") == 1
+    assert "image_meta" in out.column_names  # earlier stage's results kept
+    assert out.column("decode_ok").to_pylist() == [True] * 4
+
+
+def test_audio_short_clip_fails_closed():
+    """A clip with fewer spectrum bins than bands is a captured failure,
+    never NaN features with decode_ok=True."""
+    from pdfextraction_ray.functions.codecs import wav_encode
+    from pdfextraction_ray.stages.multimodal import AudioFeatureStage
+
+    t = pa.Table.from_pydict({
+        "audio": [wav_encode(np.zeros(5, np.float32), 8000)]})
+    out = AudioFeatureStage(allow_fake=False)(t)
+    assert out.column("decode_ok").to_pylist() == [False]
+    assert "too short" in out.column("decode_error")[0].as_py()
+
+
+def test_frame_sampler_never_uses_payload_as_id():
+    from pdfextraction_ray.stages.multimodal import FrameSampleStage
+
+    t = pa.Table.from_pydict({"video": [b"abc"]})
+    out = FrameSampleStage(allow_fake=True)(t)
+    assert "video" not in out.column_names
+    assert out.column("row_id").to_pylist()[0] == 0
+
+
+def test_image_decode_normalizes_channels_keeps_native_meta():
+    """Gray and RGBA PNGs produce fixed-width 3 features; meta keeps the
+    file's native channel count."""
+    from pdfextraction_ray.functions.codecs import png_encode
+    from pdfextraction_ray.stages.multimodal import ImageDecodeStage
+
+    rng = np.random.RandomState(0)
+    gray = rng.randint(0, 256, (9, 7, 1), dtype=np.uint8)
+    rgba = rng.randint(0, 256, (9, 7, 4), dtype=np.uint8)
+    t = pa.Table.from_pydict({
+        "image": [png_encode(gray), png_encode(rgba)]})
+    out = ImageDecodeStage(allow_fake=False)(t)
+    assert out.column("decode_ok").to_pylist() == [True, True]
+    metas = out.column("image_meta").to_pylist()
+    assert [m["channels"] for m in metas] == [1, 4]
+    feats = out.column("image_features").to_pylist()
+    assert [len(f) for f in feats] == [3, 3]
