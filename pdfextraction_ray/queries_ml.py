@@ -49,7 +49,17 @@ def _p(sf_dir: str, table: str) -> str:
 #      |docs|-sized groupby and an output-sized finish.
 # ---------------------------------------------------------------------------
 
-_SEP = "\x00"  # never appears in whitespace-split tokens
+_SEP = "\x00"
+
+
+def _bigram_keys(w1: pa.Array, w2: pa.Array) -> pa.Array:
+    """Unambiguous composite key: len(w1)-prefix + w1 + NUL + w2. A plain
+    w1+NUL+w2 is ambiguous when a token itself contains a NUL byte
+    ("a\\0b"+"c" == "a"+"b\\0c") — duplicate build keys would violate
+    bucketed_join's unique-key contract and attach wrong counts."""
+    lens = pc.cast(pc.utf8_length(w1), pa.string())
+    return pc.binary_join_element_wise(
+        lens, pc.binary_join_element_wise(w1, w2, _SEP), ":")
 
 
 def _bigrams(t: pa.Table) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
@@ -77,12 +87,13 @@ def q_bigram_perplexity(sf_dir: str) -> pa.Table:
 
     big_ds = docs.map_batches(pair_partial, batch_format="pyarrow") \
         .groupby(["w1", "w2"]).aggregate(Sum("c", alias_name="c"))
-    big = pa.Table.from_pandas(big_ds.to_pandas(), preserve_index=False)
-    big = big.append_column("bkey", pc.binary_join_element_wise(
-        big.column("w1"), big.column("w2"), _SEP))
-    uni = big.to_pandas().groupby("w1", sort=False)["c"].sum() \
-        .reset_index(name="c1")
-    uni = pa.Table.from_pandas(uni, preserve_index=False)
+    big_pdf = big_ds.to_pandas()
+    big = pa.Table.from_pandas(big_pdf, preserve_index=False)
+    big = big.append_column("bkey", _bigram_keys(
+        big.column("w1"), big.column("w2")))
+    uni = pa.Table.from_pandas(
+        big_pdf.groupby("w1", sort=False)["c"].sum().reset_index(name="c1"),
+        preserve_index=False)
 
     def tok_partial(t: pa.Table) -> pa.Table:
         _parent, vals = _flatten_tokens(t)
@@ -96,8 +107,7 @@ def q_bigram_perplexity(sf_dir: str) -> pa.Table:
     def explode(t: pa.Table) -> pa.Table:
         ids, w1, w2 = _bigrams(t)
         w1a = pa.array(w1, pa.string())
-        bkey = pc.binary_join_element_wise(
-            w1a, pa.array(w2, pa.string()), _SEP)
+        bkey = _bigram_keys(w1a, pa.array(w2, pa.string()))
         return pa.table({"doc_id": pa.array(ids), "w1": w1a, "bkey": bkey})
 
     pairs = docs.map_batches(explode, batch_format="pyarrow")
@@ -212,11 +222,11 @@ def q_logreg_train(sf_dir: str) -> pa.Table:
         gw = np.zeros(dim)
         gb = loss = 0.0
         correct = n = 0
-        for _, pgw, pgb, pl, pc, pn in parts:
+        for _, pgw, pgb, pl, p_correct, pn in parts:
             gw += pgw
             gb += pgb
             loss += pl
-            correct += pc
+            correct += p_correct
             n += pn
         rows.append((it, loss / n, correct / n))
         w -= LOGREG_LR * gw / n

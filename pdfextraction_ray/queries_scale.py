@@ -18,6 +18,7 @@ from typing import Any, Callable
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.parquet as pq
 import pyarrow.compute as pc
 import ray
 import ray.data as rd
@@ -51,7 +52,7 @@ BLOOM_FP_RATE = 0.01
 
 def q_orders_bloom_semi_join(sf_dir: str) -> pa.Table:
     cust_path = _p(sf_dir, "customer")
-    n_cust = pa.parquet.read_metadata(cust_path).num_rows  # capacity bound
+    n_cust = pq.read_metadata(cust_path).num_rows  # capacity bound
     m_bits, k = bloom_params(n_cust, BLOOM_FP_RATE)
 
     keep = rd.read_parquet(cust_path, columns=["c_custkey", "c_acctbal"]) \

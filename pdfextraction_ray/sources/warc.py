@@ -54,7 +54,7 @@ def _parse_header_block(raw: bytes) -> dict:
 
 def _strip_http(payload: bytes) -> bytes:
     """Drop the HTTP response header block if one leads the payload."""
-    if payload[:5] in (b"HTTP/",):
+    if payload.startswith(b"HTTP/"):
         cut = payload.find(_CRLF + _CRLF)
         if cut >= 0:
             return payload[cut + 4:]
@@ -101,9 +101,21 @@ class WARCDatasource(FileBasedDatasource):
             fields = _parse_header_block(_CRLF.join(header_lines))
             length = int(fields.get(b"content-length", b"0"))
             payload = stream.read(length)
+            if len(payload) < length:
+                # a short read means the file was cut mid-record — fail
+                # loudly like the bad-magic branch, never emit a silently
+                # truncated payload row
+                raise ValueError(
+                    f"{path}: truncated WARC record (Content-Length "
+                    f"{length}, {len(payload)} bytes available)")
             if fields.get(b"warc-type", b"") in self._record_types:
-                urls.append(fields.get(b"warc-target-uri", b"").decode())
-                tss.append(fields.get(b"warc-date", b"").decode())
+                # errors='replace': real crawls carry non-UTF-8 header
+                # bytes (latin-1 URLs); one bad URL must not kill the
+                # file's read task
+                urls.append(fields.get(b"warc-target-uri", b"")
+                            .decode("utf-8", "replace"))
+                tss.append(fields.get(b"warc-date", b"")
+                           .decode("utf-8", "replace"))
                 payloads.append(_strip_http(payload) if self._strip_http
                                 else payload)
                 if len(urls) >= self._rows_per_block:

@@ -77,3 +77,19 @@ def test_logreg_matches_single_node_numpy(ray_session):
     got = fn(SF).to_pandas()
     assert np.allclose(got.loss, np.round(losses, 4), atol=2e-4)
     assert np.allclose(got.accuracy, np.round(accs, 4), atol=2e-4)
+
+
+def test_bigram_keys_unambiguous_with_nul_tokens():
+    """Length-prefixed composite keys: distinct bigrams whose naive
+    w1+NUL+w2 encodings collide (tokens containing NUL bytes) must map to
+    distinct keys, or the bucketed join would attach wrong counts."""
+    import pyarrow as pa
+
+    from pdfextraction_ray.queries_ml import _bigram_keys
+
+    k1 = _bigram_keys(pa.array(["a\x00b"]), pa.array(["c"]))
+    k2 = _bigram_keys(pa.array(["a"]), pa.array(["b\x00c"]))
+    assert k1[0].as_py() != k2[0].as_py()
+    # same bigram still keys identically
+    assert _bigram_keys(pa.array(["x"]), pa.array(["y"]))[0].as_py() == \
+        _bigram_keys(pa.array(["x"]), pa.array(["y"]))[0].as_py()

@@ -96,3 +96,20 @@ def test_warc_rejects_garbage(ray_session):
         f.write(b"not a warc at all\r\n")
     with pytest.raises(Exception):
         read_warc(path).materialize()
+
+
+def test_warc_truncated_record_raises(tmp_path, ray_session):
+    """A file cut mid-record fails loudly instead of emitting a silently
+    truncated payload row."""
+    import pytest
+
+    from pdfextraction_ray.sources.warc import read_warc, write_warc_file
+
+    p = tmp_path / "t.warc"
+    write_warc_file(str(p), [("http://e.x/1", "2024-01-01T00:00:00Z",
+                              b"<html>hello world</html>")])
+    data = p.read_bytes()
+    p.write_bytes(data[:len(data) - 12])  # cut inside the payload
+    with pytest.raises(Exception) as ei:
+        read_warc(str(p)).take_all()
+    assert "truncated WARC record" in str(ei.value)
