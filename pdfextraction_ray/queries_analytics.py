@@ -47,9 +47,10 @@ def q_zscore_events(sf_dir: str) -> pa.Table:
         n = np.bincount(et_codes, minlength=len(et_uniques))
         s = np.bincount(et_codes, weights=v, minlength=len(et_uniques))
         ss = np.bincount(et_codes, weights=v * v, minlength=len(et_uniques))
-        return pa.table({"event_type": pa.array(et_uniques),
+        return pa.table({"event_type": pa.array(et_uniques, pa.string()),
                          "n": pa.array(n.astype(np.int64)),
-                         "s": pa.array(s), "ss": pa.array(ss)})
+                         "s": pa.array(s, pa.float64()),
+                         "ss": pa.array(ss, pa.float64())})
 
     agg = rd.read_parquet(path, columns=["event_type", "value"]) \
         .map_batches(moments, batch_format="pyarrow") \
@@ -235,8 +236,10 @@ def q_heavy_hitter_terms(sf_dir: str) -> pa.Table:
         est = np.min(np.stack([sketch[dd, idx[dd]]
                                for dd in range(CMS_DEPTH)]), axis=0)
         keep = est >= thresh
-        return pa.table({"token": pa.array(uniques[keep]),
-                         "n": pa.array(counts[keep])})
+        # pin the type: an all-False keep yields a null-typed array that
+        # breaks schema unification in the downstream groupby
+        return pa.table({"token": pa.array(uniques[keep], pa.string()),
+                         "n": pa.array(counts[keep], pa.int64())})
 
     agg = rd.read_parquet(path, columns=["text"]) \
         .map_batches(candidates, batch_format="pyarrow") \

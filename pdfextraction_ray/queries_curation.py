@@ -110,12 +110,15 @@ def q_word_repetition(sf_dir: str) -> pa.Table:
         n_distinct = np.bincount(uniq_pairs // max(len(uniques), 1),
                                  minlength=len(t)).astype(np.int64)
         ratio = 1.0 - n_distinct / np.maximum(n_words, 1)
+        nonempty = n_words > 0  # the oracle's WHERE tok <> '' GROUP BY
+        # drops docs with no non-empty tokens entirely — mirror it
         out = pa.table({
-            "doc_id": t["doc_id"],
-            "n_words": pa.array(n_words),
-            "n_distinct": pa.array(n_distinct),
-            "rep_ratio": pa.array(ratio),
-            "keep": pa.array((ratio <= REPETITION_KEEP_MAX).astype(np.int32)),
+            "doc_id": t["doc_id"].filter(pa.array(nonempty)),
+            "n_words": pa.array(n_words[nonempty]),
+            "n_distinct": pa.array(n_distinct[nonempty]),
+            "rep_ratio": pa.array(ratio[nonempty]),
+            "keep": pa.array((ratio[nonempty] <= REPETITION_KEEP_MAX)
+                             .astype(np.int32)),
         })
         return _roundf(out, ["rep_ratio"])
 
@@ -159,7 +162,7 @@ def _tfidf_partial(t: pa.Table) -> pa.Table:
     uniq_pairs = np.unique(key)
     df = np.bincount(uniq_pairs % max(len(uniques), 1),
                      minlength=len(uniques)).astype(np.int64)
-    return pa.table({"token": pa.array(uniques),
+    return pa.table({"token": pa.array(uniques, pa.string()),
                      "tf": pa.array(tf), "df": pa.array(df)})
 
 
@@ -314,7 +317,7 @@ def q_kmeans_clusters(sf_dir: str, k: int = KMEANS_K,
     ds = rd.read_parquet(_p(sf_dir, "embeddings"),
                          columns=["vec_id", "embedding"]).materialize()
     refs = ds.to_arrow_refs()
-    seed = ds.filter(expr=f"vec_id < {k}").take_all()
+    seed = ds.sort("vec_id").limit(k).take_all()
     seed.sort(key=lambda r: r["vec_id"])
     cent = np.stack([np.asarray(r["embedding"], dtype=np.float64)
                      for r in seed])
@@ -366,10 +369,18 @@ def _hll_partial(t: pa.Table) -> pa.Table:
     reg = (h >> np.uint64(64 - HLL_P)).astype(np.int64)
     rest = (h << np.uint64(HLL_P)).astype(np.uint64)
     # rank = leading zeros of `rest` + 1, capped for rest == 0
-    nz = rest != 0
-    lead = np.full(len(rest), 64 - HLL_P, dtype=np.int64)
-    with np.errstate(divide="ignore"):
-        lead[nz] = 63 - np.floor(np.log2(rest[nz].astype(np.float64))).astype(np.int64)
+    # integer-exact bit length (6 conditional shifts): float log2 rounds
+    # values within ~2^10 of 2^64 UP (rank would be lost) and its ULP
+    # behavior is libm-dependent — registers must be portable for the
+    # pinned golden
+    bl = np.zeros(len(rest), dtype=np.int64)
+    v = rest.copy()
+    for _s in (32, 16, 8, 4, 2, 1):
+        m = v >= (np.uint64(1) << np.uint64(_s))
+        bl[m] += _s
+        v[m] >>= np.uint64(_s)
+    bl[rest != 0] += 1
+    lead = np.where(rest != 0, 64 - bl, 64 - HLL_P)
     rank = lead + 1
     regs = np.zeros((len(et_uniques), HLL_M), dtype=np.int64)
     np.maximum.at(regs, (et_codes, reg), rank)

@@ -62,8 +62,13 @@ def q_asof_join(sf_dir: str) -> pa.Table:
         c_ts, c_val = c_ts[order], c_val[order]
         idx = np.searchsorted(c_ts, ts[is_p], side="right") - 1
         # -1.0 sentinel instead of NULL: NaN breaks both the local isclose
-        # check and the driver value-hash; the oracle mirrors with coalesce
-        last = np.where(idx >= 0, c_val[np.clip(idx, 0, None)], -1.0)
+        # check and the driver value-hash; the oracle mirrors with coalesce.
+        # A user with purchases but NO clicks has empty c_val — np.where
+        # evaluates the gather eagerly, so guard before indexing
+        if len(c_val):
+            last = np.where(idx >= 0, c_val[np.clip(idx, 0, None)], -1.0)
+        else:
+            last = np.full(int(is_p.sum()), -1.0)
         return pa.Table.from_pydict({
             "event_id": pa.array(eid[is_p], pa.int64()),
             "user_id": pa.array(uid[is_p], pa.int64()),
@@ -291,15 +296,14 @@ def q_near_dup_clusters(sf_dir: str) -> pa.Table:
             parent[x], x = root, parent[x]
         return root
 
-    for a, b in zip(pairs.column("doc_a").to_pylist(),
-                    pairs.column("doc_b").to_pylist()):
+    doc_a = pairs.column("doc_a").to_pylist()  # materialized ONCE: at the
+    doc_b = pairs.column("doc_b").to_pylist()  # ~1e8-pair bound these lists
+    for a, b in zip(doc_a, doc_b):             # are multi-GB
         ra, rb = find(a), find(b)
         if ra != rb:
             lo, hi = (ra, rb) if ra < rb else (rb, ra)
             parent[hi] = lo
-    members = sorted({d for d in parent} |
-                     {d for d in pairs.column("doc_a").to_pylist()} |
-                     {d for d in pairs.column("doc_b").to_pylist()})
+    members = sorted(set(parent) | set(doc_a) | set(doc_b))
     return pa.Table.from_pydict({
         "doc_id": pa.array(members, pa.int64()),
         "canonical_id": pa.array([find(d) for d in members], pa.int64())})

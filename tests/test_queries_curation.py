@@ -95,3 +95,21 @@ def test_hll_within_5pct_of_exact(ray_session):
     for et, row in exact.iterrows():
         est = int(t.loc[et, "n_users_approx"])
         assert abs(est - row.n) / row.n < 0.05, (et, est, int(row.n))
+
+
+def test_word_repetition_drops_empty_docs(ray_session, tmp_path):
+    """Docs whose text has no non-empty tokens are dropped, matching the
+    oracle's WHERE tok <> '' GROUP BY."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pdfextraction_ray.queries_curation import q_word_repetition
+
+    docs = pa.table({
+        "doc_id": pa.array([0, 1, 2], pa.int64()),
+        "text": pa.array(["a b a", "", "  "]),
+    })
+    pq.write_table(docs, tmp_path / "documents.parquet")
+    t = q_word_repetition(str(tmp_path)).to_pandas()
+    assert t.doc_id.tolist() == [0]
+    assert t.n_words.tolist() == [3]

@@ -117,3 +117,27 @@ def test_ext_registry_wired(ray_session):
     for name in EXT_GOLDEN_QUERIES:
         assert hasattr(QUERIES[name], "__wrapped__")
         assert "read_parquet" in ORACLES[name]
+
+
+def test_asof_join_user_with_no_clicks(ray_session, tmp_path):
+    """A user with purchases but zero clicks gets the -1.0 sentinel instead
+    of an IndexError on the empty click array."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pdfextraction_ray.queries_ext import q_asof_join
+
+    ev = pa.table({
+        "event_id": pa.array([1, 2, 3], pa.int64()),
+        "ts": pa.array(pd.to_datetime(
+            ["2024-01-01", "2024-01-02", "2024-01-03"]).values.astype(
+            "datetime64[us]")),
+        "user_id": pa.array([7, 7, 8], pa.int64()),
+        "event_type": pa.array(["purchase", "purchase", "click"]),
+        "value": pa.array([10.0, 20.0, 5.0], pa.float64()),
+        "props": pa.array(["{}", "{}", "{}"]),
+    })
+    pq.write_table(ev, tmp_path / "events.parquet")
+    t = q_asof_join(str(tmp_path)).to_pandas()
+    assert t.last_click_value.tolist() == [-1.0, -1.0]
