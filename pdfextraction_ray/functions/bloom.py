@@ -34,7 +34,14 @@ def _mix(x: np.ndarray) -> np.ndarray:
 
 def _as_u64(keys) -> np.ndarray:
     if isinstance(keys, (pa.Array, pa.ChunkedArray)):
-        keys = keys.to_numpy(zero_copy_only=False)
+        # route through the SHARED key hash (functions/joins.key_hash_u64):
+        # it decides the int-vs-string path by ARROW type, so a batch
+        # containing one null integer key cannot silently flip the whole
+        # batch onto the string path while the (null-free) build side used
+        # the integer path — that asymmetry produces bloom false NEGATIVES,
+        # violating the 'False is always correct' contract
+        from .joins import key_hash_u64
+        return key_hash_u64(keys)
     keys = np.asarray(keys)
     if np.issubdtype(keys.dtype, np.integer):
         return keys.astype(np.uint64, copy=False)

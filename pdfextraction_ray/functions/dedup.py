@@ -32,7 +32,10 @@ def md5_hex(text: str) -> str:
 
 def md5_hex_batch(batch: pa.Table, text_col: str = "text",
                   out_col: str = "text_hash") -> pa.Table:
-    hashes = [md5_hex(t) for t in batch.column(text_col).to_pylist()]
+    # null text hashes like the empty string (deterministic; a null row
+    # must not kill the task with AttributeError)
+    hashes = [md5_hex(t if t is not None else "")
+              for t in batch.column(text_col).to_pylist()]
     return batch.append_column(out_col, pa.array(hashes, pa.string()))
 
 
@@ -73,7 +76,13 @@ def minhash_signature(text: str, num_perm: int = 64, k: int = 5,
     if len(sh) == 0:
         return np.zeros(num_perm, dtype=np.uint64)
     with np.errstate(over="ignore"):
-        # (a * x + b) mod Mersenne61, vectorized over (perm, shingle)
+        # NOT a true (a*x+b) mod Mersenne61: shingle hashes are full-range
+        # uint64, so a*x wraps mod 2^64 BEFORE the Mersenne fold. What
+        # remains is a deterministic mixing permutation family — adequate
+        # here because every candidate pair is verified by EXACT Jaccard
+        # downstream (the estimate only gates candidacy), and the output
+        # is pinned golden. A strict universal family would need the
+        # shingles reduced mod M first and a 128-bit multiply.
         prod = a[:, None] * sh[None, :] + b[:, None]
         hashed = (prod & _MERSENNE) + (prod >> np.uint64(61))
         hashed = np.where(hashed >= _MERSENNE, hashed - _MERSENNE, hashed)
@@ -187,7 +196,10 @@ def explode_bands(batch: pa.Table, id_col: str = "doc_id",
             out_band.append(bi)
             out_bucket.append(bucket)
     return pa.Table.from_pydict({
-        id_col: pa.array(out_id),
+        # pin the id type from the input schema: an EMPTY batch would
+        # otherwise emit a null-typed column that breaks schema
+        # unification downstream
+        id_col: pa.array(out_id, batch.schema.field(id_col).type),
         "band": pa.array(out_band, pa.int32()),
         "bucket": pa.array(out_bucket, pa.int64()),
     })

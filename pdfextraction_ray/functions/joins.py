@@ -32,20 +32,38 @@ import ray
 _KNUTH = np.uint64(0x9E3779B97F4A7C15)
 
 
+def key_hash_u64(arr: pa.ChunkedArray | pa.Array) -> np.ndarray:
+    """Deterministic uint64 per key — THE shared key-hash for every
+    hash-partitioned structure (bucketed join, bloom filter, salted
+    shuffle): build/probe sides must agree bit-for-bit.
+
+    The path decision uses the ARROW type, never the numpy dtype: a nulled
+    int column converts to float64, and letting dtype pick the path would
+    silently hash an entire batch differently from the (null-free) build
+    side — every key in the batch mis-buckets. Null keys hash to a fixed
+    value (they match nothing in a join; bloom membership for them is
+    meaningless but stable)."""
+    typ = arr.type
+    if pa.types.is_integer(typ):
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        np_arr = arr.fill_null(0).to_numpy(zero_copy_only=False)
+        with np.errstate(over="ignore"):
+            h = np_arr.astype(np.uint64) * _KNUTH
+            h ^= h >> np.uint64(32)
+        return h
+    np_arr = arr.to_numpy(zero_copy_only=False)
+    # categorize=False is REQUIRED for cross-array consistency: the
+    # categorize fast path mis-hashes strings with embedded NUL bytes
+    # (observed pandas 2.2.2 — the same value hashes differently
+    # depending on the surrounding array), and build/probe sides hash
+    # different arrays by construction.
+    return pd.util.hash_array(np_arr.astype(object), categorize=False)
+
+
 def _bucket_of(arr: pa.ChunkedArray | pa.Array, n_buckets: int) -> np.ndarray:
     """Deterministic bucket id per key (same function both sides)."""
-    np_arr = arr.to_numpy(zero_copy_only=False)
-    if np.issubdtype(np_arr.dtype, np.integer):
-        h = np_arr.astype(np.uint64, copy=False) * _KNUTH
-        h ^= h >> np.uint64(32)
-    else:
-        # categorize=False is REQUIRED for cross-array consistency: the
-        # categorize fast path mis-hashes strings with embedded NUL bytes
-        # (observed pandas 2.2.2 — the same value hashes differently
-        # depending on the surrounding array), and build/probe sides hash
-        # different arrays by construction.
-        h = pd.util.hash_array(np_arr.astype(object), categorize=False)
-    return (h % np.uint64(n_buckets)).astype(np.int64)
+    return (key_hash_u64(arr) % np.uint64(n_buckets)).astype(np.int64)
 
 
 class BucketedBuildSide:
@@ -63,15 +81,25 @@ class BucketedBuildSide:
         self.key_col = key_col
         self.n_buckets = n_buckets
         buckets = _bucket_of(table.column(key_col), n_buckets)
-        self.refs = []
-        for b in range(n_buckets):
-            self.refs.append(ray.put(table.filter(
-                pa.array(buckets == b, pa.bool_()))))
+        # ONE stable sort + contiguous slices, not n_buckets full-table
+        # filter passes (O(n log n) vs O(n_buckets x n) scans + masks)
+        order = np.argsort(buckets, kind="stable")
+        sorted_tbl = table.take(pa.array(order))
+        counts = np.bincount(buckets, minlength=n_buckets)
+        offsets = np.concatenate(([0], np.cumsum(counts)))
+        self.refs = [ray.put(sorted_tbl.slice(int(offsets[b]),
+                                              int(counts[b])))
+                     for b in range(n_buckets)]
 
 
-# per-worker-process bucket cache: (ref hex) -> pa.Table
-_BUCKET_CACHE: dict = {}
-_BUCKET_CACHE_MAX = 1024
+# per-worker-process bucket LRU: (ref hex) -> pa.Table. Bounded by ENTRY
+# COUNT with least-recently-used eviction — a wholesale clear() would evict
+# the live join's hot buckets along with stale ones, and unbounded growth
+# pins every past join's buckets in worker heaps for the process lifetime.
+from collections import OrderedDict  # noqa: E402
+
+_BUCKET_CACHE: "OrderedDict[str, pa.Table]" = OrderedDict()
+_BUCKET_CACHE_MAX = 256
 
 
 def _cached_bucket(ref) -> pa.Table:
@@ -79,9 +107,11 @@ def _cached_bucket(ref) -> pa.Table:
     tbl = _BUCKET_CACHE.get(key)
     if tbl is None:
         tbl = ray.get(ref)
-        if len(_BUCKET_CACHE) >= _BUCKET_CACHE_MAX:
-            _BUCKET_CACHE.clear()
+        while len(_BUCKET_CACHE) >= _BUCKET_CACHE_MAX:
+            _BUCKET_CACHE.popitem(last=False)
         _BUCKET_CACHE[key] = tbl
+    else:
+        _BUCKET_CACHE.move_to_end(key)
     return tbl
 
 

@@ -23,11 +23,24 @@ import ray
 
 
 def _as_matrix(col: pa.ChunkedArray) -> np.ndarray:
-    """list<float> column -> (n, d) float64 matrix (copy; batches are small)."""
+    """list<float> column -> (n, d) float64 matrix (copy; batches are small).
+
+    Null or ragged list entries are rejected loudly: flatten() silently
+    DROPS null sublists, so reshape would either crash with an opaque
+    error or — worse, when the sizes happen to divide — reassemble rows
+    misaligned with their ids."""
     arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
-    flat = arr.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
     n = len(arr)
-    return flat.reshape(n, -1) if n else flat.reshape(0, 0)
+    if n == 0:
+        return np.empty((0, 0))
+    if arr.null_count:
+        raise ValueError("embedding column contains null entries")
+    lens = np.diff(arr.offsets.to_numpy(zero_copy_only=False))
+    if len(np.unique(lens)) > 1:
+        raise ValueError(
+            f"ragged embedding lists (lengths {sorted(set(lens))[:4]}...)")
+    flat = arr.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+    return flat.reshape(n, -1)
 
 
 class _BatchTopK:
@@ -84,7 +97,10 @@ class LshBucketer:
     """Random-hyperplane LSH: sign bits of ``n_planes`` projections form the
     bucket id. Same fixed seed on index and query side."""
 
-    def __init__(self, dim: int, n_planes: int = 12, seed: int = 13):
+    def __init__(self, dim: int, n_planes: int = 8, seed: int = 13):
+        # default MUST match lsh_topk's (a pre-bucketed dataset built with
+        # a different plane count makes the popcount filter compare
+        # mismatched codes and recall silently collapses)
         rng = np.random.RandomState(seed)
         self.planes = rng.standard_normal((dim, n_planes))
 

@@ -33,14 +33,14 @@ def _stable_hash(s: str) -> int:
 
 
 def _vec_hash(arr: pa.ChunkedArray) -> "Any":
-    """Vectorized stable string hash: pandas' siphash-1-3 with its FIXED
-    default key — deterministic across runs and platforms, C-speed. Key
-    stability does not require md5; the salt only needs a fixed, documented
-    hash (the two-stage aggregate is invariant to the exact salt values)."""
-    import numpy as np
-    import pandas as pd
-    np_arr = arr.to_numpy(zero_copy_only=False)
-    return pd.util.hash_array(np_arr.astype(object)).astype(np.uint64)
+    """Vectorized stable string hash — delegates to the ONE shared key hash
+    (functions/joins.key_hash_u64: pandas siphash with categorize=False).
+    This copy previously omitted categorize=False, silently keeping the
+    NUL-byte mis-hash the other two hash sites were patched for; one
+    helper, no drift. The salted aggregate itself is invariant to the
+    exact salt values — only determinism matters."""
+    from ..functions.joins import key_hash_u64
+    return key_hash_u64(arr)
 
 
 def add_domain_and_salt(batch: pa.Table, n_salts: int = 16,

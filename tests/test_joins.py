@@ -105,3 +105,43 @@ def test_string_bucket_consistent_with_nul_bytes(ray_session):
                         probe_key="k", build_key="k", join_type="inner",
                         n_buckets=16)
     assert got.count() == len(keys)  # every probe key exists in the build
+
+
+def test_bucketed_join_probe_batch_with_null_int_key(ray_session):
+    """A probe batch containing one null integer key must still bucket its
+    NON-null keys identically to the (null-free) build side — dtype-based
+    path selection used to flip the whole batch onto the string-hash path
+    and silently miss every match."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from pdfextraction_ray.functions.joins import bucketed_join
+
+    build = pa.table({"k": pa.array(list(range(100)), pa.int64()),
+                      "v": pa.array([i * 10 for i in range(100)], pa.int64())})
+    probe = pa.table({"k": pa.array([5, None, 42, 99], pa.int64())})
+    out = bucketed_join(rd.from_arrow(probe), build, probe_key="k",
+                        build_key="k", value_cols=["v"], n_buckets=8,
+                        join_type="left").to_pandas().sort_values("k")
+    got = dict(zip(out.k.dropna().astype(int), out.v.dropna().astype(int)))
+    assert got == {5: 50, 42: 420, 99: 990}
+    assert out.v.isna().sum() == 1  # the null key matched nothing
+
+
+def test_bloom_no_false_negatives_with_null_int_key(ray_session):
+    """Bloom 'False is always correct': a probe batch with a null integer
+    key must not flip the batch's hash path and produce false negatives."""
+    import numpy as np
+    import pyarrow as pa
+
+    from pdfextraction_ray.functions.bloom import (bloom_build,
+                                                   bloom_contains,
+                                                   bloom_params)
+
+    m, k = bloom_params(1000)
+    keys = pa.array(list(range(0, 1000, 7)), pa.int64())
+    bits = bloom_build(keys, m, k)
+    probe = pa.array([7, None, 14, 21, 3], pa.int64())
+    got = bloom_contains(bits, probe, m, k)
+    assert bool(got[0]) and bool(got[2]) and bool(got[3])  # real members
