@@ -69,6 +69,12 @@ def _round4(table: pa.Table, cols: list[str]) -> pa.Table:
 
 _Q1_PARTIAL_COLS = ["l_returnflag", "l_linestatus", "sum_qty", "sum_base_price",
                     "sum_disc_price", "sum_charge", "sum_disc", "n"]
+_Q1_PARTIAL_SCHEMA = pa.schema(
+    [("l_returnflag", pa.string()), ("l_linestatus", pa.string())]
+    + [(c, pa.float64()) for c in ("sum_qty", "sum_base_price",
+                                   "sum_disc_price", "sum_charge",
+                                   "sum_disc")]
+    + [("n", pa.int64())])
 
 
 def _q1_partial(batch: pa.Table) -> pa.Table:
@@ -78,7 +84,9 @@ def _q1_partial(batch: pa.Table) -> pa.Table:
     t = batch.filter(pc.less_equal(batch["l_shipdate"],
                                    pa.scalar(pd.Timestamp("1998-09-02"))))
     if t.num_rows == 0:
-        return pa.Table.from_pydict({c: [] for c in _Q1_PARTIAL_COLS})
+        # schema-pinned: a bare from_pydict of empty lists types every
+        # column null and breaks shuffle schema unification
+        return _Q1_PARTIAL_SCHEMA.empty_table()
     disc_price = pc.multiply(t["l_extendedprice"],
                              pc.subtract(pa.scalar(1.0), t["l_discount"]))
     charge = pc.multiply(disc_price, pc.add(pa.scalar(1.0), t["l_tax"]))
@@ -304,7 +312,13 @@ class _BroadcastLookup:
         return t.append_column(self.out_col, vals)
 
 
-_LOOKUP_CACHE: dict = {}
+from collections import OrderedDict as _OrderedDict  # noqa: E402
+
+# bounded LRU (same rationale as functions/joins._BUCKET_CACHE): long-lived
+# workers running many broadcast-join queries must not pin every past
+# mapping in heap forever
+_LOOKUP_CACHE: "_OrderedDict" = _OrderedDict()
+_LOOKUP_CACHE_MAX = 64
 
 
 def _broadcast_lookup_task(t: pa.Table, mapping_ref, key_col: str,
@@ -318,7 +332,11 @@ def _broadcast_lookup_task(t: pa.Table, mapping_ref, key_col: str,
     if arrs is None:
         mapping: dict = ray.get(mapping_ref)
         arrs = (pa.array(list(mapping.keys())), pa.array(list(mapping.values())))
+        while len(_LOOKUP_CACHE) >= _LOOKUP_CACHE_MAX:
+            _LOOKUP_CACHE.popitem(last=False)
         _LOOKUP_CACHE[key] = arrs
+    else:
+        _LOOKUP_CACHE.move_to_end(key)
     idx = pc.index_in(t.column(key_col), value_set=arrs[0])
     return t.append_column(out_col, pc.take(arrs[1], idx))
 
@@ -618,8 +636,11 @@ def q_props_json_sum(sf_dir: str) -> pa.Table:
                     obj = None
             except (ValueError, TypeError):
                 obj = extract_json_from_response(s or "")
-            # fallback policy: unparseable payload contributes 0, row kept
-            ks.append(obj["k"] if obj and isinstance(obj.get("k"), int) else 0)
+            # fallback policy: unparseable payload contributes 0, row kept.
+            # bool is an int subclass — JSON true/false must not count as 1/0
+            v = obj.get("k") if obj else None
+            ks.append(v if isinstance(v, int) and not isinstance(v, bool)
+                      else 0)
         return pa.Table.from_pydict({
             "event_type": t["event_type"], "k": pa.array(ks, pa.int64())})
 
@@ -633,7 +654,9 @@ def q_props_json_sum(sf_dir: str) -> pa.Table:
 
 SQL_PROPS_JSON_SUM = r"""
 SELECT event_type, COUNT(*) AS n_events,
-       CAST(SUM(CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT)) AS BIGINT) AS sum_k
+       CAST(SUM(COALESCE(TRY_CAST(
+           regexp_extract(props, '"k":\s*(\d+)', 1) AS BIGINT), 0))
+            AS BIGINT) AS sum_k
 FROM events GROUP BY event_type ORDER BY event_type
 """
 
@@ -784,7 +807,8 @@ def q_embedding_ann_lsh(sf_dir: str) -> pa.Table:
 # ---------------------------------------------------------------------------
 
 def _normalize_block(t: pa.Table) -> pa.Table:
-    mat = np.asarray(t.column("embedding").to_pylist(), dtype=np.float64)
+    from .functions.similarity import _as_matrix
+    mat = _as_matrix(t.column("embedding"))  # vectorized + null/ragged guard
     if mat.size:
         norms = np.linalg.norm(mat, axis=1)
         norms[norms == 0] = 1.0
@@ -797,10 +821,15 @@ def _normalize_block(t: pa.Table) -> pa.Table:
 @ray.remote
 def _score_block_pair(a: pa.Table, b: pa.Table, same_block: bool,
                       threshold: float) -> pa.Table:
-    ida = np.asarray(a.column("vec_id").to_pylist(), dtype=np.int64)
-    idb = np.asarray(b.column("vec_id").to_pylist(), dtype=np.int64)
-    ua = np.asarray(a.column("unit").to_pylist(), dtype=np.float64)
-    ub = np.asarray(b.column("unit").to_pylist(), dtype=np.float64)
+    from pdfextraction_ray.functions.similarity import _as_matrix
+    ida = a.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
+    idb = b.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
+    if not len(ida) or not len(idb):  # an empty block would make the
+        return pa.Table.from_pydict(   # 1-D (0,) matmul raise
+            {"vec_a": pa.array([], pa.int64()),
+             "vec_b": pa.array([], pa.int64())})
+    ua = _as_matrix(a.column("unit"))
+    ub = _as_matrix(b.column("unit"))
     scores = ua @ ub.T
     ii, jj = np.where(scores >= threshold)
     va, vb = ida[ii], idb[jj]
@@ -1207,6 +1236,14 @@ GROUP BY p.p_brand ORDER BY p.p_brand
 # per-doc signatures.
 # ---------------------------------------------------------------------------
 
+def _band_bucket_key(bucket: np.ndarray, band: np.ndarray) -> np.ndarray:
+    """Combined 64-bit LSH shuffle key: band XORed into the top byte. A
+    cross-band false positive needs a 2^-56 bucket coincidence and would
+    merely add a candidate that fails verification. ONE definition — the
+    minhash and simhash paths must agree."""
+    return bucket.astype(np.int64) ^ (band.astype(np.int64) << 56)
+
+
 def _dup_bucket_members(exploded: "rd.Dataset") -> Optional["rd.Dataset"]:
     """Keep only exploded LSH rows whose (band, bucket) key is shared by >= 2
     docs. Most keys are singletons — the vectorized count + membership filter
@@ -1219,8 +1256,8 @@ def _dup_bucket_members(exploded: "rd.Dataset") -> Optional["rd.Dataset"]:
     dup = counts.filter(expr="n >= 2").to_pandas()
     if dup.empty:
         return None
-    dup_keys = (dup["bucket"].to_numpy(dtype=np.int64)
-                ^ (dup["band"].to_numpy(dtype=np.int64) << 56))
+    dup_keys = _band_bucket_key(dup["bucket"].to_numpy(dtype=np.int64),
+                                dup["band"].to_numpy(dtype=np.int64))
     keys_ref = ray.put(pa.array(dup_keys, pa.int64()))
 
     def member(t: pa.Table) -> pa.Table:
@@ -1275,8 +1312,9 @@ def q_minhash_near_dup_pairs(sf_dir: str) -> pa.Table:
     dup = counts.filter(expr="n >= 2").to_pandas()
     if dup.empty:
         return pa.Table.from_pydict(_EMPTY_JACCARD)
-    dup_keys = np.sort(dup["bucket"].to_numpy(dtype=np.int64)
-                       ^ (dup["band"].to_numpy(dtype=np.int64) << 56))
+    dup_keys = np.sort(_band_bucket_key(
+        dup["bucket"].to_numpy(dtype=np.int64),
+        dup["band"].to_numpy(dtype=np.int64)))
     keys_ref = ray.put(dup_keys)
 
     def member_rows(t: pa.Table) -> pa.Table:
@@ -1293,7 +1331,7 @@ def q_minhash_near_dup_pairs(sf_dir: str) -> pa.Table:
                 row_bucket.append(bv)
         band_np = np.asarray(row_band, dtype=np.int64)
         bucket_np = np.asarray(row_bucket, dtype=np.int64)
-        combined = bucket_np ^ (band_np << 56)
+        combined = _band_bucket_key(bucket_np, band_np)
         keep = np.isin(combined, ray.get(keys_ref))
         idx = np.nonzero(keep)[0]
         doc_idx = np.asarray(row_doc, dtype=np.int64)[idx]
@@ -1316,6 +1354,12 @@ def q_minhash_near_dup_pairs(sf_dir: str) -> pa.Table:
                 cache[d] = D._shingle_hashes(text_of[d])
             return cache[d]
 
+        if len(ids) * (len(ids) - 1) // 2 > 1000:
+            import warnings
+            warnings.warn(  # "no silent caps" — dedup.py's documented
+                f"LSH bucket with {len(ids)} docs: pair generation capped "
+                f"at 1000 of {len(ids) * (len(ids) - 1) // 2} pairs "
+                "(max_pairs_per_bucket skew guard)", stacklevel=1)
         rows = []
         for a, b in D.candidate_pairs_from_bucket(ids):
             j = D.jaccard_from_shingles(sh(a), sh(b))
@@ -1343,7 +1387,13 @@ def q_simhash_near_dup_pairs(sf_dir: str, max_hamming: int = 6) -> pa.Table:
     DISTRIBUTED pair-gen + hamming verify inside ``map_groups`` (the
     fingerprints ride the exploded rows, so the verify needs no second pass
     over texts at all) -> distributed pair dedup. Only the duplicate-key set
-    and the final pair list reach the driver."""
+    and the final pair list reach the driver.
+
+    RECALL < 1 for max_hamming > 3: 4 bands of 16 bits only GUARANTEE a
+    co-bucket for pairs within hamming distance 3 (pigeonhole); a distance
+    4-6 pair whose differing bits span 4 distinct bands is never a
+    candidate. Same recall/cost trade the minhash and embedding LSH paths
+    declare; raise the band count for a stronger guarantee."""
     ds = rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
 
     def sim_bands(t: pa.Table) -> pa.Table:
@@ -1374,6 +1424,12 @@ def q_simhash_near_dup_pairs(sf_dir: str, max_hamming: int = 6) -> pa.Table:
 
     def pairgen_verify(g: pa.Table) -> pa.Table:
         ids = g["doc_id"].to_pylist()
+        if len(ids) * (len(ids) - 1) // 2 > 1000:
+            import warnings
+            warnings.warn(
+                f"LSH bucket with {len(ids)} docs: pair generation capped "
+                f"at 1000 of {len(ids) * (len(ids) - 1) // 2} pairs "
+                "(max_pairs_per_bucket skew guard)", stacklevel=1)
         sim_of = dict(zip(ids, g["simhash"].to_pylist()))
         rows = [(a, b, D.hamming64(sim_of[a], sim_of[b]))
                 for a, b in D.candidate_pairs_from_bucket(ids)]
