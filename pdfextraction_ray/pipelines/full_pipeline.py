@@ -27,9 +27,11 @@ def dedup_latest_by_url(ds: "Any") -> "Any":
     nested envelope columns (schema/fields/tables structs) do not survive a
     pandas round-trip."""
     import pyarrow as pa
+    import pyarrow.compute as pc  # pa.compute alone relies on a transitive
+    # import (verified: bare pyarrow does not expose .compute)
 
     def latest(g: "pa.Table") -> "pa.Table":
-        idx = pa.compute.sort_indices(
+        idx = pc.sort_indices(
             g, sort_keys=[("warc_ts", "descending"), ("bytes_out", "descending")])
         return g.take(idx[:1])
 
@@ -54,7 +56,17 @@ def run_full_pipeline(paths: Union[str, list[str]], out_dir: str, *,
     Dataset; Ray re-executes the lazy graph per consumption, so for the
     small histogram we aggregate from the WRITTEN output columns instead
     (read-back of 3 narrow columns — no reparse)."""
+    import glob
+    import os
+    import shutil
+
     import ray.data as rd
+
+    # write_parquet APPENDS uniquely-named files: a rerun into a dir with a
+    # previous attempt's output would silently double every row and inflate
+    # the read-back summary (same contract as runner's stale-dir clear)
+    for stale in glob.glob(os.path.join(out_dir, "*.parquet")):
+        os.unlink(stale)
 
     parsed = extract_pipeline(paths, batch_size=batch_size, lang=lang)
     if merge_records:
@@ -74,7 +86,11 @@ def run_full_pipeline(paths: Union[str, list[str]], out_dir: str, *,
                                                 ("bytes_out", "descending")])
             g = g.take(idx)
             ts = g.column("warc_ts").to_pylist()
-            keep = [i for i, t in enumerate(ts) if i == 0 or t != ts[i - 1]]
+            # a null timestamp identifies nothing: two null-ts crawls are
+            # DISTINCT pages, not same-crawl duplicates
+            keep = [i for i, t in enumerate(ts)
+                    if i == 0 or t is None or ts[i - 1] is None
+                    or t != ts[i - 1]]
             g = g.take(pa.array(keep, pa.int64()))
             g = g.append_column("page_number",
                                 pa.array(range(1, g.num_rows + 1), pa.int32()))
@@ -86,14 +102,14 @@ def run_full_pipeline(paths: Union[str, list[str]], out_dir: str, *,
                   .groupby("url")
                   .map_groups(paginate_and_merge, batch_format="pyarrow"))
         merged.write_parquet(out_dir)
+        if not glob.glob(os.path.join(out_dir, "*.parquet")):
+            return {"written_rows": 0, "domains": None}
         n = rd.read_parquet(out_dir, columns=["url"]).count()
         return {"written_rows": n, "domains": None}
     if dedup:
         parsed = dedup_latest_by_url(parsed)
 
     parsed.write_parquet(out_dir)
-    import glob
-    import os
     if not glob.glob(os.path.join(out_dir, "*.parquet")):
         # zero rows selected (e.g. lang filter matched nothing): no files
         return {"written_rows": 0, "domains": 0, "top_domains": []}

@@ -146,7 +146,7 @@ def run_partitioned(pipeline_fn, input_paths: Union[str, list[str]],
         ran.append(_run_one_partition(
             part_id, files, out_dir, 0, None, version,
             pipeline_fn=pipeline_fn, counters_fn=counters_fn))
-    summary = M.job_summary(out_dir)
+    summary = M.job_summary(out_dir, valid_ids=set(range(len(partitions))))
     summary["partitions_run"] = ran
     summary["partitions_skipped"] = skipped
     return summary
@@ -233,7 +233,7 @@ def run_resumable(input_paths: Union[str, list[str]], out_dir: str, *,
         for part_id, files in todo:
             ran.append(_run_one_partition(part_id, files, out_dir, batch_size,
                                           concurrency, parser_version))
-    summary = M.job_summary(out_dir)
+    summary = M.job_summary(out_dir, valid_ids=set(range(len(partitions))))
     summary["partitions_run"] = ran
     summary["partitions_skipped"] = skipped
     return summary

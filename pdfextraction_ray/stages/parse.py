@@ -152,6 +152,10 @@ class DocumentParser:
                         **({"max_link_density": mld} if mld is not None else {})))
             hit = (html, float(params.get("proximity_multiplier",
                                           self.proximity_multiplier)))
+            # bounded: a web corpus has millions of distinct domains and
+            # the worker-process cache lives for the whole run
+            if len(self._domain_cache) >= 4096:
+                self._domain_cache.pop(next(iter(self._domain_cache)))
             self._domain_cache[domain] = hit
         return hit
 

@@ -88,7 +88,10 @@ def committed_partitions(out_dir: str, parser_version: str,
         if not (name.startswith("part-") and name.endswith(".json")):
             continue
         try:
-            part_id = int(name[5:9])
+            # the id is everything between 'part-' and '.json' — [5:9]
+            # would mis-parse runs with >= 10000 partitions ({:04d} does
+            # not truncate wider ids) and resume would re-run them all
+            part_id = int(name[5:-5])
         except ValueError:
             continue
         rec = read_manifest(out_dir, part_id)
@@ -102,19 +105,31 @@ def committed_partitions(out_dir: str, parser_version: str,
     return done
 
 
-def job_summary(out_dir: str) -> dict[str, Any]:
-    """Aggregate counters across all committed manifests (the G2/G8-style
-    job-level metrics view)."""
+def job_summary(out_dir: str,
+                valid_ids: Optional[set] = None) -> dict[str, Any]:
+    """Aggregate counters across committed manifests (the G2/G8-style
+    job-level metrics view). ``valid_ids`` (the CURRENT partition plan's
+    ids) excludes stale manifests left by an earlier run with a different
+    plan — without it a replan from 10 to 2 partitions would sum all 10.
+    Corrupt manifests are skipped like read_manifest treats them
+    (uncommitted), never fatal after the work already succeeded."""
     mdir = os.path.join(out_dir, MANIFEST_DIR)
     total: dict[str, Any] = {"partitions": 0, "wall_time_s": 0.0}
     counters: dict[str, float] = {}
     if not os.path.isdir(mdir):
         return {**total, "counters": counters}
     for name in sorted(os.listdir(mdir)):
-        if not name.endswith(".json"):
+        if not (name.startswith("part-") and name.endswith(".json")):
             continue
-        with open(os.path.join(mdir, name)) as f:
-            rec = json.load(f)
+        try:
+            part_id = int(name[5:-5])
+        except ValueError:
+            continue
+        if valid_ids is not None and part_id not in valid_ids:
+            continue
+        rec = read_manifest(out_dir, part_id)
+        if rec is None:
+            continue
         total["partitions"] += 1
         total["wall_time_s"] += rec.get("wall_time_s", 0.0)
         for k, v in rec.get("counters", {}).items():

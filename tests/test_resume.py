@@ -136,15 +136,19 @@ def test_run_partitioned_failure_leaves_no_manifest(ray_session, tmp_path):
     import pytest
     with pytest.raises(Exception):
         run_partitioned(flaky, str(src), str(out), version="v1")
-    committed = glob.glob(str(out / "_manifest" / "*.json"))
-    assert len(committed) == 1  # partition 0 only
+    committed = sorted(glob.glob(str(out / "_manifest" / "*.json")))
+    # partition 1 (the poisoned one) must NOT be committed; partition 0
+    # normally is (a transient infra failure on it just means it reruns)
+    assert not any(p.endswith("part-0001.json") for p in committed)
+    committed_ids = sorted(int(p[-9:-5]) for p in committed)
 
     def ok(ds):
         return ds.map_batches(lambda t: t, batch_format="pyarrow")
 
     s = run_partitioned(ok, str(src), str(out), version="v1")
-    assert s["partitions_run"] == [1, 2]
-    assert s["partitions_skipped"] == [0]
+    assert s["partitions_skipped"] == committed_ids
+    assert s["partitions_run"] == sorted(set(range(3)) - set(committed_ids))
+    assert 1 in s["partitions_run"]  # the poisoned partition reran
     rows = sum(pq.read_metadata(p).num_rows for p in
                glob.glob(str(out / "**" / "*.parquet"), recursive=True))
     assert rows == 30
