@@ -21,7 +21,6 @@ from __future__ import annotations
 import math
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 
 
@@ -33,22 +32,21 @@ def _mix(x: np.ndarray) -> np.ndarray:
 
 
 def _as_u64(keys) -> np.ndarray:
-    if isinstance(keys, (pa.Array, pa.ChunkedArray)):
-        # route through the SHARED key hash (functions/joins.key_hash_u64):
-        # it decides the int-vs-string path by ARROW type, so a batch
-        # containing one null integer key cannot silently flip the whole
-        # batch onto the string path while the (null-free) build side used
-        # the integer path — that asymmetry produces bloom false NEGATIVES,
-        # violating the 'False is always correct' contract
-        from .joins import key_hash_u64
-        return key_hash_u64(keys)
-    keys = np.asarray(keys)
-    if np.issubdtype(keys.dtype, np.integer):
-        return keys.astype(np.uint64, copy=False)
-    # categorize=False: the categorize fast path mis-hashes NUL-containing
-    # strings inconsistently across arrays (pandas 2.2.2), and bloom build
-    # and probe hash different arrays by construction.
-    return pd.util.hash_array(keys.astype(object), categorize=False)
+    # EVERY container routes through the ONE shared key hash
+    # (functions/joins.key_hash_u64). Its path decision is by ARROW type,
+    # so a batch containing one null integer key cannot silently flip the
+    # whole batch onto the string path while the (null-free) build side
+    # used the integer path, and a filter built from a numpy array probes
+    # identically to one built from an Arrow column — either asymmetry
+    # would produce bloom false NEGATIVES, violating the 'False is always
+    # correct' contract.
+    from .joins import key_hash_u64
+    if not isinstance(keys, (pa.Array, pa.ChunkedArray)):
+        np_keys = np.asarray(keys)
+        if np_keys.dtype.kind == "U":
+            np_keys = np_keys.astype(object)
+        keys = pa.array(np_keys)
+    return key_hash_u64(keys)
 
 
 def bloom_params(n_capacity: int, fp_rate: float = 0.01) -> tuple[int, int]:

@@ -417,6 +417,11 @@ def jpeg_decode(data: bytes) -> np.ndarray:
     while True:
         if data[pos] != 0xFF:
             raise ValueError(f"expected marker at {pos}")
+        # ITU T.81 B.1.1.2: any number of 0xFF fill bytes may pad before a
+        # marker — skip them so the marker byte is never itself read as 0xFF
+        # (which would shift the segment-length read to the wrong offset)
+        while data[pos + 1] == 0xFF:
+            pos += 1
         marker = data[pos + 1]
         pos += 2
         if marker == 0xD9:  # EOI

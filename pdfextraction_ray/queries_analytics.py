@@ -90,7 +90,10 @@ SQL_ZSCORE_EVENTS = """
 WITH s AS (SELECT event_type, avg(value) AS m, stddev_pop(value) AS sd
            FROM events GROUP BY event_type)
 SELECT e.event_id, e.event_type, e.value,
-       CAST(ROUND((e.value - s.m) / s.sd, 4) AS REAL) AS zscore
+       -- COALESCE(NULLIF(sd,0),1) mirrors the Ray side's std-0 fallback
+       -- (a constant-valued group z-scores to 0, not NULL/inf)
+       CAST(ROUND((e.value - s.m) / COALESCE(NULLIF(s.sd, 0), 1), 4)
+            AS REAL) AS zscore
 FROM events e JOIN s USING (event_type) ORDER BY e.event_id
 """
 

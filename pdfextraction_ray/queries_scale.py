@@ -68,6 +68,13 @@ def q_orders_bloom_semi_join(sf_dir: str) -> pa.Table:
     parts = [np.frombuffer(r["bloom"], dtype=np.uint8) for r in
              keep.map_batches(partial_bloom, batch_format="pyarrow",
                               batch_size=None).take_all()]
+    # empty build side (no customer clears the threshold): the semi-join
+    # result is empty by definition — return it typed instead of letting
+    # bloom_or index into an empty partial list
+    if not parts:
+        return pa.table({"o_orderpriority": pa.array([], pa.string()),
+                         "n_orders": pa.array([], pa.int64()),
+                         "total_price": pa.array([], pa.float32())})
     bloom_ref = ray.put(bloom_or(parts))
     build_keys = pa.Table.from_pandas(keep.to_pandas(), preserve_index=False)
 

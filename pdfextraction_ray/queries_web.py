@@ -693,10 +693,16 @@ def q_event_type_pivot(sf_dir: str) -> pa.Table:
         et = t.column("event_type").to_numpy(zero_copy_only=False)
         ucodes, uniq = pd.factorize(uid)
         ecodes, euniq = pd.factorize(et)  # dict lookup per UNIQUE type only
-        tcodes = np.array([t2i[x] for x in euniq], dtype=np.int64)[ecodes]
-        counts = np.bincount(ucodes * len(_PIVOT_TYPES) + tcodes,
-                             minlength=len(uniq) * len(_PIVOT_TYPES)) \
-            .reshape(len(uniq), len(_PIVOT_TYPES))
+        # types outside the pivot vocabulary count toward NO column but
+        # still keep their user's row — exactly what the SQL oracle's
+        # FILTER clauses over GROUP BY user_id do. The sentinel index is
+        # one past the real columns and is dropped after the bincount.
+        width = len(_PIVOT_TYPES) + 1
+        tcodes = np.array([t2i.get(x, len(_PIVOT_TYPES)) for x in euniq],
+                          dtype=np.int64)[ecodes]
+        counts = np.bincount(ucodes * width + tcodes,
+                             minlength=len(uniq) * width) \
+            .reshape(len(uniq), width)
         cols = {"user_id": pa.array(uniq, pa.int64())}
         for i, ty in enumerate(_PIVOT_TYPES):
             cols[f"n_{ty}"] = pa.array(counts[:, i], pa.int64())

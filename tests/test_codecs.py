@@ -274,3 +274,21 @@ def test_avi_parser_fails_closed_on_malformed_input():
         avi_frames(bytes(corrupt))
     except ValueError:
         pass
+
+
+def test_jpeg_decode_tolerates_ff_fill_bytes():
+    """ADVICE r3 (low): ITU T.81 B.1.1.2 allows 0xFF fill bytes before any
+    marker; the decoder must skip them instead of misreading the length."""
+    import numpy as np
+
+    from pdfextraction_ray.functions import jpeg as J
+
+    rng = np.random.default_rng(5)
+    img = (rng.random((24, 24, 3)) * 255).astype(np.uint8)
+    enc = J.jpeg_encode(img, quality=90)
+    # insert fill bytes before the first post-SOI marker (enc[2:4])
+    assert enc[2] == 0xFF
+    padded = enc[:2] + b"\xff\xff\xff" + enc[2:]
+    a = J.jpeg_decode(enc)
+    b = J.jpeg_decode(padded)
+    assert np.array_equal(a, b)

@@ -82,3 +82,33 @@ def test_analytics_registry_wired(ray_session):
     for name in ANA_QUERIES:
         assert name in QUERIES and name in ORACLES
         assert "SELECT" in ORACLES[name]  # all four are real SQL oracles
+
+
+def test_zscore_constant_group_matches_oracle(ray_session, tmp_path):
+    """ADVICE r3 (low): a constant-valued event_type z-scores to 0 on BOTH
+    engines (the SQL oracle mirrors the std=0 -> divide-by-1 fallback)."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq_
+
+    from pdfextraction_ray.queries_analytics import (SQL_ZSCORE_EVENTS,
+                                                     q_zscore_events)
+
+    d = tmp_path / "sf"
+    d.mkdir()
+    n = 200
+    rng = np.random.default_rng(3)
+    types = np.where(np.arange(n) % 4 == 0, "flat", "vary")
+    vals = np.where(types == "flat", 7.5, np.round(rng.normal(10, 2, n), 4))
+    pq_.write_table(pa.table({
+        "event_id": pa.array(np.arange(n, dtype=np.int64)),
+        "event_type": pa.array(types.tolist(), pa.string()),
+        "value": pa.array(vals, pa.float64())}),
+        str(d / "events.parquet"))
+    ours = q_zscore_events(str(d)).to_pandas()
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW events AS SELECT * FROM "
+            f"read_parquet('{d}/events.parquet')")
+    theirs = con.sql(SQL_ZSCORE_EVENTS).df()
+    assert np.allclose(ours.zscore, theirs.zscore)
+    assert (ours.loc[ours.event_type == "flat", "zscore"] == 0).all()

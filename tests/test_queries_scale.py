@@ -97,3 +97,41 @@ def test_split_assignment_group_preserving(ray_session):
         by_split.setdefault(_split_of(s), set()).add(s)
     got = dict(zip(t.split, t.n_sources))
     assert got == {k: len(v) for k, v in by_split.items()}
+
+
+def test_bloom_mixed_container_consistency():
+    """ADVICE r3 (medium): a filter built from a numpy array must answer
+    identically to one built from the equivalent Arrow column — mixed
+    build/probe containers must never produce false negatives."""
+    import pyarrow as pa
+
+    from pdfextraction_ray.functions.bloom import (bloom_build,
+                                                   bloom_contains,
+                                                   bloom_params)
+
+    np_int = np.arange(0, 5000, 3, dtype=np.int64)
+    pa_int = pa.array(np_int, pa.int64())
+    m, k = bloom_params(len(np_int), 0.01)
+    bits_np = bloom_build(np_int, m, k)
+    bits_pa = bloom_build(pa_int, m, k)
+    assert bytes(bits_np) == bytes(bits_pa)  # same bits, either container
+    assert bloom_contains(bits_np, pa_int, m, k).all()
+    assert bloom_contains(bits_pa, np_int, m, k).all()
+
+    np_str = np.array([f"k{i}\x00x" for i in range(800)], dtype=object)
+    pa_str = pa.array(np_str.tolist(), pa.string())
+    m2, k2 = bloom_params(len(np_str), 0.01)
+    assert bytes(bloom_build(np_str, m2, k2)) == \
+        bytes(bloom_build(pa_str, m2, k2))
+    assert bloom_contains(bloom_build(np_str, m2, k2), pa_str, m2, k2).all()
+
+
+def test_bloom_semi_join_empty_build_side(ray_session, monkeypatch):
+    """ADVICE r3 (low): no customer above the threshold -> typed empty
+    result, not an IndexError inside bloom_or."""
+    import pdfextraction_ray.queries_scale as QS
+
+    monkeypatch.setattr(QS, "BLOOM_BAL_THRESHOLD", 1e18)
+    t = QS.q_orders_bloom_semi_join(SF)
+    assert t.num_rows == 0
+    assert t.column_names == ["o_orderpriority", "n_orders", "total_price"]

@@ -311,3 +311,30 @@ def test_doc_row_numbers_total_order(ray_session):
     assert t.row_no.tolist() == list(range(1, len(t) + 1))
     pairs = list(zip(t.lang, t.doc_id))
     assert pairs == sorted(pairs)
+
+
+def test_pivot_unknown_event_type_counts_nothing(ray_session, tmp_path):
+    """ADVICE r3 (low): an event_type outside the pivot vocabulary must not
+    kill the task — it counts toward no column, but its user still gets a
+    row (exactly the SQL FILTER ... GROUP BY semantics)."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq_
+
+    from pdfextraction_ray.queries_web import (SQL_EVENT_TYPE_PIVOT,
+                                               q_event_type_pivot)
+
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq_.write_table(pa.table({
+        "user_id": pa.array([1, 1, 2, 3], pa.int64()),
+        "event_type": pa.array(["click", "mystery", "view", "mystery"])}),
+        str(d / "events.parquet"))
+    ours = q_event_type_pivot(str(d)).to_pandas()
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW events AS SELECT * FROM "
+            f"read_parquet('{d}/events.parquet')")
+    theirs = con.sql(SQL_EVENT_TYPE_PIVOT).df()
+    assert len(ours) == 3  # user 3 (only unknown events) keeps a row
+    for c in ours.columns:
+        assert ours[c].tolist() == theirs[c].astype(ours[c].dtype).tolist()
