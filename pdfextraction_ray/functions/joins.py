@@ -91,6 +91,38 @@ class BucketedBuildSide:
                                               int(counts[b])))
                      for b in range(n_buckets)]
 
+    @classmethod
+    def from_dataset(cls, ds, key_col: str, n_buckets: int = 64,
+                     schema: Optional[pa.Schema] = None) -> "BucketedBuildSide":
+        """Build the hash-partitioned side DISTRIBUTED, from a Dataset's own
+        blocks — the whole build side never lands on the driver (the driver
+        holds only object refs). Shape: one split task per block fans each
+        block out into ``n_buckets`` bucket pieces; one concat task per
+        bucket merges that bucket's pieces. This is what lets n-sized state
+        (graph ranks/labels, LM counts) serve as a join build side at scales
+        where a driver-resident ``pa.Table`` would OOM.
+        """
+        if n_buckets < 1:
+            raise ValueError("n_buckets must be >= 1")
+        self = cls.__new__(cls)
+        self.key_col = key_col
+        self.n_buckets = n_buckets
+        block_refs = ds.to_arrow_refs()
+        if not block_refs:
+            if schema is None:
+                schema = ds.schema().base_schema
+            empty = ray.put(schema.empty_table())
+            self.refs = [empty] * n_buckets
+            return self
+        pieces = []
+        for r in block_refs:
+            out = _split_block_to_buckets.options(
+                num_returns=n_buckets).remote(r, key_col, n_buckets)
+            pieces.append([out] if n_buckets == 1 else out)
+        self.refs = [_concat_bucket_pieces.remote(*[p[b] for p in pieces])
+                     for b in range(n_buckets)]
+        return self
+
 
 # per-worker-process bucket LRU: (ref hex) -> pa.Table. Bounded by ENTRY
 # COUNT with least-recently-used eviction — a wholesale clear() would evict
@@ -100,6 +132,25 @@ from collections import OrderedDict  # noqa: E402
 
 _BUCKET_CACHE: "OrderedDict[str, pa.Table]" = OrderedDict()
 _BUCKET_CACHE_MAX = 256
+
+
+@ray.remote
+def _split_block_to_buckets(tbl: pa.Table, key_col: str, n_buckets: int):
+    """One block -> its n_buckets bucket pieces (tuple return, one object
+    ref per bucket — consumers fetch only the piece they need)."""
+    buckets = _bucket_of(tbl.column(key_col), n_buckets)
+    order = np.argsort(buckets, kind="stable")
+    sorted_tbl = tbl.take(pa.array(order))
+    counts = np.bincount(buckets, minlength=n_buckets)
+    offsets = np.concatenate(([0], np.cumsum(counts)))
+    out = tuple(sorted_tbl.slice(int(offsets[b]), int(counts[b]))
+                for b in range(n_buckets))
+    return out[0] if n_buckets == 1 else out
+
+
+@ray.remote
+def _concat_bucket_pieces(*pieces: pa.Table) -> pa.Table:
+    return pa.concat_tables(pieces).combine_chunks()
 
 
 def _cached_bucket(ref) -> pa.Table:
@@ -139,12 +190,16 @@ def _probe_batch(batch: pa.Table, refs: list, probe_key: str, build_key: str,
     return pa.concat_tables(pieces)
 
 
-def bucketed_join(probe_ds, build_table: pa.Table, *, probe_key: str,
+def bucketed_join(probe_ds, build_table, *, probe_key: str,
                   build_key: str, value_cols: Optional[Sequence[str]] = None,
                   n_buckets: int = 64, join_type: str = "left") -> "ray.data.Dataset":
-    """Map-side join: stream ``probe_ds`` against a hash-bucketed
-    ``build_table`` (unique keys). ``join_type`` 'left' (nulls for unmatched
-    probe rows) or 'inner'. Returns a Dataset with ``value_cols`` appended.
+    """Map-side join: stream ``probe_ds`` against a hash-bucketed build side
+    (unique keys). ``build_table`` is either a driver ``pa.Table`` (mid-size
+    regime) or a ``ray.data.Dataset`` — the Dataset form is partitioned
+    DISTRIBUTED via ``BucketedBuildSide.from_dataset`` and never lands on
+    the driver, so n-sized state (iterative graph ranks/labels) can serve
+    as a build side. ``join_type`` 'left' (nulls for unmatched probe rows)
+    or 'inner'. Returns a Dataset with ``value_cols`` appended.
 
     The probe side never shuffles; each worker pulls only the build buckets
     its batches reference. Task form (not an actor pool) so it composes with
@@ -152,11 +207,17 @@ def bucketed_join(probe_ds, build_table: pa.Table, *, probe_key: str,
     """
     if join_type not in ("left", "inner"):
         raise ValueError(f"join_type must be 'left' or 'inner', got {join_type!r}")
+    if isinstance(build_table, pa.Table):
+        build_schema = build_table.schema
+        side = BucketedBuildSide(build_table, build_key, n_buckets)
+    else:
+        build_schema = build_table.schema().base_schema
+        side = BucketedBuildSide.from_dataset(build_table, build_key,
+                                              n_buckets, schema=build_schema)
     if value_cols is None:
-        value_cols = [c for c in build_table.column_names if c != build_key]
-    side = BucketedBuildSide(build_table, build_key, n_buckets)
+        value_cols = [c for c in build_schema.names if c != build_key]
     refs = side.refs
-    value_types = {c: build_table.schema.field(c).type for c in value_cols}
+    value_types = {c: build_schema.field(c).type for c in value_cols}
     return probe_ds.map_batches(
         lambda t: _probe_batch(t, refs, probe_key, build_key,
                                list(value_cols), value_types, n_buckets,

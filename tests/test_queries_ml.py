@@ -93,3 +93,33 @@ def test_bigram_keys_unambiguous_with_nul_tokens():
     # same bigram still keys identically
     assert _bigram_keys(pa.array(["x"]), pa.array(["y"]))[0].as_py() == \
         _bigram_keys(pa.array(["x"]), pa.array(["y"]))[0].as_py()
+
+
+def test_bigram_model_never_lands_on_driver(ray_session):
+    """VERDICT r3 #4: the bigram/unigram model attaches via dataset-block
+    build sides; the driver must not put any model-sized object. The
+    sf0.001 corpus has >>2k distinct surviving bigrams, so a whole-model
+    put would trip the 2k threshold."""
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from pdfextraction_ray.queries_ml import q_bigram_perplexity
+
+    big = []
+    orig = ray.put
+
+    def spy(obj, *a, **k):
+        if isinstance(obj, np.ndarray) and obj.size >= 2000:
+            big.append(("ndarray", obj.size))
+        if isinstance(obj, pa.Table) and obj.num_rows >= 2000:
+            big.append(("table", obj.num_rows))
+        return orig(obj, *a, **k)
+
+    ray.put = spy
+    try:
+        t = q_bigram_perplexity(SF)
+    finally:
+        ray.put = orig
+    assert not big, f"driver put model-sized state: {big}"
+    assert t.num_rows == 500

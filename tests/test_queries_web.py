@@ -338,3 +338,78 @@ def test_pivot_unknown_event_type_counts_nothing(ray_session, tmp_path):
     assert len(ours) == 3  # user 3 (only unknown events) keeps a row
     for c in ours.columns:
         assert ours[c].tolist() == theirs[c].astype(ours[c].dtype).tolist()
+
+
+def _no_big_driver_puts(fn, n):
+    """Run fn() with ray.put instrumented; fail if the DRIVER puts any
+    n-sized object (the r3 anti-pattern: rank/label vectors or whole build
+    tables re-broadcast per iteration). Worker-side puts are unaffected —
+    only the driver process is patched."""
+    import pyarrow as pa
+    import ray
+
+    big = []
+    orig = ray.put
+
+    def spy(obj, *a, **k):
+        if isinstance(obj, np.ndarray) and obj.size >= n:
+            big.append(("ndarray", obj.size))
+        if isinstance(obj, pa.Table) and obj.num_rows >= n:
+            big.append(("table", obj.num_rows))
+        return orig(obj, *a, **k)
+
+    ray.put = spy
+    try:
+        out = fn()
+    finally:
+        ray.put = orig
+    assert not big, f"driver put n-sized state: {big}"
+    return out
+
+
+def test_pagerank_no_driver_state(ray_session):
+    """VERDICT r3 #2: per-iteration rank state must live in the object
+    store as dataset blocks, never as a driver-resident n-sized vector."""
+    import pyarrow.parquet as pq_
+
+    from pdfextraction_ray.queries_web import q_pagerank
+
+    n = pq_.read_metadata(f"{SF}/documents.parquet").num_rows
+    t = _no_big_driver_puts(lambda: q_pagerank(SF), n)
+    assert t.num_rows == n  # full result still produced
+
+
+def test_connected_components_no_driver_state(ray_session):
+    import pyarrow.parquet as pq_
+
+    from pdfextraction_ray.queries_web import q_connected_components
+
+    n = pq_.read_metadata(f"{SF}/documents.parquet").num_rows
+    t = _no_big_driver_puts(lambda: q_connected_components(SF), n)
+    assert t.num_rows == n
+
+
+def test_triangle_count_no_driver_state(ray_session):
+    """VERDICT r3 #5: wedge closing must join against the distributed edge
+    dataset, not a whole-edge-set broadcast."""
+    import pyarrow.parquet as pq_
+
+    from pdfextraction_ray.queries_web import CC_FANOUT, q_triangle_count
+
+    n_docs = pq_.read_metadata(f"{SF}/documents.parquet").num_rows
+    # the full deduped edge set is ~n*fanout rows; driver puts must stay
+    # strictly below it (bucket pieces are created by remote tasks)
+    t = _no_big_driver_puts(lambda: q_triangle_count(SF), n_docs * CC_FANOUT)
+    assert t.column("n_triangles")[0].as_py() > 0
+
+
+def test_dup_ngram_scale_path_equals_broadcast_path(ray_session):
+    """VERDICT r3 #3: the bloom-prune + bucketed-exact-verify scale path
+    (forced via broadcast_max=0) must return exactly the broadcast path's
+    rows — and without any driver-side put of the full dup-gram set."""
+    from pdfextraction_ray.queries_web import q_dup_ngram_spans
+
+    small = q_dup_ngram_spans(SF).to_pandas()
+    big = _no_big_driver_puts(
+        lambda: q_dup_ngram_spans(SF, broadcast_max=0), 10_000).to_pandas()
+    assert small.equals(big)
