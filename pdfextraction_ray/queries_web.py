@@ -1314,6 +1314,104 @@ FROM documents ORDER BY row_no
 
 
 # ---------------------------------------------------------------------------
+# end-to-end crawl-archive extraction (VERDICT r3 #8): documents ->
+# deterministic WARC files (written DISTRIBUTED, one file per batch — the
+# fixture analogue of a real crawl's many-file layout; the sandbox has no
+# real crawl data) -> sources.warc.read_warc (independent per-file read
+# tasks) -> ingestion payload-tagging -> the flagship parse stage (HTML
+# main-content extraction) -> per-doc extraction metrics. The WARC payloads
+# are RAW html bytes exactly as a crawl records them; the tag normalization
+# is the ingestion step. The SQL oracle can predict the result because the
+# fixture wraps each doc's text in one minimal <p> the extractor returns
+# byte-identically; the writer asserts that contract (no markup
+# metacharacters, text >= the extractor's length bar) loudly instead of
+# letting the fixture silently diverge from the oracle.
+# ---------------------------------------------------------------------------
+
+WARC_TS_FIXED = "2024-01-01T00:00:00Z"
+_WARC_MIN_CHARS = 25  # the parse stage's default min_text_chars
+
+
+def q_warc_extract(sf_dir: str) -> pa.Table:
+    import hashlib
+    import tempfile
+
+    from .payload import TAG_HTML
+    from .sources.warc import read_warc, write_warc_file
+    from .stages.parse import parse_batch_task
+
+    tmp_root = tempfile.mkdtemp(prefix="warc_extract_")
+
+    def write_block(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_pylist()
+        recs = []
+        for did, tx in zip(ids, t.column("text").to_pylist()):
+            if ("<" in tx or ">" in tx or "&" in tx
+                    or len(tx) < _WARC_MIN_CHARS):
+                raise ValueError(
+                    f"doc {did} violates the warc fixture contract "
+                    "(markup metacharacters or text below the extractor's "
+                    "length bar would desynchronize the SQL oracle)")
+            html = f"<html><body><p>{tx}</p></body></html>"
+            recs.append((f"http://warc.test/doc/{did}", WARC_TS_FIXED,
+                         html.encode("utf-8")))
+        name = hashlib.md5(
+            f"{ids[0]}-{ids[-1]}-{len(ids)}".encode()).hexdigest()[:16]
+        path = os.path.join(tmp_root, f"part-{name}.warc")
+        write_warc_file(path, recs)
+        return pa.table({"path": pa.array([path], pa.string()),
+                         "n_docs": pa.array([len(ids)], pa.int64())})
+
+    manifest = rd.read_parquet(_p(sf_dir, "documents"),
+                               columns=["doc_id", "text"]) \
+        .map_batches(write_block, batch_format="pyarrow",
+                     batch_size=256).take_all()
+    paths = sorted(r["path"] for r in manifest)
+
+    def to_envelope_input(t: pa.Table) -> pa.Table:
+        # ingestion normalization: raw crawl bytes -> tagged payload column
+        tagged = pa.array([TAG_HTML + p.as_py()
+                           for p in t.column("payload")], pa.binary())
+        ts = pc.strptime(t.column("warc_ts"), format="%Y-%m-%dT%H:%M:%SZ",
+                         unit="us")
+        return pa.table({"url": t["url"], "warc_ts": ts,
+                         "lang": pa.array(["en"] * len(t), pa.string()),
+                         "html": tagged})
+
+    def metrics(t: pa.Table) -> pa.Table:
+        doc_id = pc.cast(pc.replace_substring_regex(
+            t.column("url"), r"^http://warc\.test/doc/", ""), pa.int64())
+        text = t.column("extracted_text")
+        if not pc.all(t.column("parse_ok")).as_py():
+            raise ValueError("warc parse failures: "
+                             + str(t.column("parse_error").to_pylist()[:3]))
+        return pa.table({
+            "doc_id": doc_id,
+            "n_chars": pc.cast(pc.utf8_length(text), pa.int64()),
+            "n_tokens": pc.cast(pc.list_value_length(
+                pc.split_pattern(text, " ")), pa.int64())})
+
+    try:
+        out = read_warc(paths) \
+            .map_batches(to_envelope_input, batch_format="pyarrow") \
+            .map_batches(parse_batch_task, batch_format="pyarrow",
+                         zero_copy_batch=True) \
+            .map_batches(metrics, batch_format="pyarrow")
+        t = pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+    finally:
+        import shutil
+        shutil.rmtree(tmp_root, ignore_errors=True)
+    return t.sort_by([("doc_id", "ascending")])
+
+
+SQL_WARC_EXTRACT = """
+SELECT doc_id, length(text) AS n_chars,
+       len(string_split(text, ' ')) AS n_tokens
+FROM documents ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry fragments merged by queries.py
 # ---------------------------------------------------------------------------
 
@@ -1334,6 +1432,7 @@ WEB_QUERIES: dict[str, Callable[[str], Any]] = {
     "orders_rollup": q_orders_rollup,
     "docs_by_lang_sample": q_docs_by_lang_sample,
     "doc_row_numbers": q_doc_row_numbers,
+    "warc_extract": q_warc_extract,
 }
 
 WEB_ORACLES: dict[str, str] = {
@@ -1352,6 +1451,7 @@ WEB_ORACLES: dict[str, str] = {
     "orders_rollup": SQL_ORDERS_ROLLUP,
     "docs_by_lang_sample": SQL_DOCS_BY_LANG_SAMPLE,
     "doc_row_numbers": SQL_DOC_ROW_NUMBERS,
+    "warc_extract": SQL_WARC_EXTRACT,
 }
 
 # pinned-golden-backed (histogram-sketch estimates are not SQL-expressible)

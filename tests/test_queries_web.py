@@ -413,3 +413,24 @@ def test_dup_ngram_scale_path_equals_broadcast_path(ray_session):
     big = _no_big_driver_puts(
         lambda: q_dup_ngram_spans(SF, broadcast_max=0), 10_000).to_pandas()
     assert small.equals(big)
+
+
+def test_warc_extract_matches_oracle_and_cleans_up(ray_session, tmp_path,
+                                                   monkeypatch):
+    """VERDICT r3 #8: WARC source -> flagship parse -> metrics matches the
+    SQL oracle at sf0.001 and removes its fixture files afterwards."""
+    import duckdb
+    import tempfile
+
+    from pdfextraction_ray.queries_web import (SQL_WARC_EXTRACT,
+                                               q_warc_extract)
+
+    monkeypatch.setattr(tempfile, "tempdir", str(tmp_path))
+    ours = q_warc_extract(SF).to_pandas()
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{SF}/documents.parquet')")
+    theirs = con.sql(SQL_WARC_EXTRACT).df()
+    for c in ["doc_id", "n_chars", "n_tokens"]:
+        assert np.array_equal(ours[c].values, theirs[c].values), c
+    assert not list(tmp_path.glob("warc_extract_*"))  # fixture dir removed
