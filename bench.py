@@ -26,32 +26,39 @@ SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 N_DOCS = int(os.environ.get("GRAFT_BENCH_DOCS", "200000"))
 CORPUS_SHARDS = 32
-BENCH_QUERIES = ["pricing_summary", "events_by_type", "top_recent_events",
-                 "exact_dedup", "embedding_topk", "token_stats",
-                 "merge_longest_wins", "minhash_near_dup_pairs",
-                 "simhash_near_dup_pairs", "user_sessions", "value_percentiles",
-                 "lineitem_semi_join", "segment_revenue", "curated_documents",
-                 "top_event_per_user", "props_json_sum",
-                 # round-3 curation/analytics operators (near_dup_clusters is
-                 # excluded: it re-runs minhash_near_dup_pairs, timed above)
-                 "asof_join", "user_activity_features", "term_frequencies",
-                 "stratified_sample", "decontaminate", "embedding_ann_ivf",
-                 "redact_props", "word_repetition", "tfidf_terms",
-                 "events_range_join", "kmeans_clusters",
-                 "approx_distinct_users", "brand_revenue_bucketed",
-                 "zscore_events", "top3_events_per_user",
-                 "heavy_hitter_terms", "inverted_index",
-                 "doc_chunks", "sequence_packing", "funnel_stages",
-                 "orders_bloom_semi_join", "domain_quota_sample",
-                 "split_assignment", "bigram_perplexity", "logreg_train",
-                 "value_change_counts", "weighted_sample",
-                 "dup_ngram_spans", "pagerank", "connected_components",
-                 "value_percentiles_hist", "rolling_event_stats",
-                 "corpus_checksum", "video_features",
-                 "event_type_pivot", "customer_event_full_outer",
-                 "mean_embedding_by_label", "triangle_count",
-                 "value_quartile_buckets", "orders_rollup", "docs_by_lang_sample",
-                 "doc_row_numbers"]
+
+# Queries are timed one FAMILY per fresh Ray session (VERDICT r3 #7): a
+# 58-query single-session sweep inflates late queries 3-4x via object-store
+# bloat, making round-over-round per-query deltas meaningless. Family
+# boundaries follow module/shape so a regression localizes.
+# (near_dup_clusters is excluded: it re-runs minhash_near_dup_pairs.)
+BENCH_FAMILIES: dict[str, list[str]] = {
+    "core_sql": ["pricing_summary", "events_by_type", "top_recent_events",
+                 "token_stats", "lineitem_semi_join", "segment_revenue",
+                 "props_json_sum", "top_event_per_user", "value_percentiles",
+                 "user_sessions", "merge_longest_wins", "curated_documents",
+                 "exact_dedup"],
+    "dedup": ["minhash_near_dup_pairs", "simhash_near_dup_pairs"],
+    "embedding": ["embedding_topk", "embedding_ann_ivf", "kmeans_clusters",
+                  "mean_embedding_by_label", "logreg_train"],
+    "curation": ["redact_props", "word_repetition", "tfidf_terms",
+                 "term_frequencies", "decontaminate", "stratified_sample",
+                 "approx_distinct_users", "weighted_sample",
+                 "docs_by_lang_sample", "doc_row_numbers", "corpus_checksum"],
+    "analytics": ["zscore_events", "top3_events_per_user",
+                  "heavy_hitter_terms", "inverted_index", "events_range_join",
+                  "asof_join", "user_activity_features", "value_change_counts",
+                  "rolling_event_stats", "event_type_pivot",
+                  "customer_event_full_outer", "value_quartile_buckets",
+                  "value_percentiles_hist", "orders_rollup", "funnel_stages"],
+    "training_scale": ["doc_chunks", "sequence_packing", "split_assignment",
+                       "domain_quota_sample", "orders_bloom_semi_join",
+                       "brand_revenue_bucketed"],
+    "graph_lm": ["bigram_perplexity", "dup_ngram_spans", "pagerank",
+                 "connected_components", "triangle_count"],
+    "media_warc": ["video_features", "warc_extract"],
+}
+BENCH_QUERIES = [q for fam in BENCH_FAMILIES.values() for q in fam]
 
 
 def _generate_corpus(n_docs: int, out_dir: str) -> None:
@@ -131,20 +138,27 @@ def run_bench() -> dict:
         headline = rep_s if headline is None else min(headline, rep_s)
 
     q_times: dict[str, float] = {}
-    # timing-only: no golden compare happens here, so disable the
-    # wrong-scale golden guard (goldens are pinned at sf0.001/sf0.01)
-    os.environ.setdefault("PDFX_NO_GOLDEN_GUARD", "1")
-    for name in ([] if os.environ.get("GRAFT_BENCH_SKIP_QUERIES") else BENCH_QUERIES):
-        tq = time.perf_counter()
-        res = QUERIES[name](SF_DIR)
-        if hasattr(res, "materialize"):
-            res = res.materialize()
-        q_times[name] = round(time.perf_counter() - tq, 3)
+    if not os.environ.get("GRAFT_BENCH_SKIP_QUERIES"):
+        for fam in BENCH_FAMILIES:  # one fresh Ray session per family
+            out = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--run-family",
+                 fam], capture_output=True, text=True, check=True,
+                cwd=os.path.dirname(os.path.abspath(__file__)),
+                env=dict(os.environ)).stdout
+            q_times.update(json.loads(out.strip().splitlines()[-1]))
+
+    # in-session flagship re-run: quantifies session bloat explicitly
+    # instead of letting it contaminate per-query numbers
+    shutil.rmtree(out_dir, ignore_errors=True)
+    t0 = time.perf_counter()
+    extract_pipeline(paths).write_parquet(out_dir)
+    insession = time.perf_counter() - t0
 
     result = {
         "metric": "flagship_extract_sec",
         "value": round(headline, 3),
         "unit": "sec",
+        "flagship_insession_sec": round(insession, 3),
         "queries": q_times,
         "sf": SF_DIR,
         "num_cpus": NUM_CPUS,
@@ -155,6 +169,35 @@ def run_bench() -> dict:
     }
     ray.shutdown()
     return result
+
+
+def run_family(family: str) -> dict:
+    """Time one query family in this (fresh) process; prints {name: sec}."""
+    import ray
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    from ray.data import DataContext
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    ctx.execution_options.verbose_progress = False
+    import ray.data as rd
+    # spin up worker processes untimed so the family's first query does not
+    # absorb cold-start
+    rd.range(10_000).map_batches(lambda b: b).materialize()
+
+    from pdfextraction_ray.queries import QUERIES
+    # timing-only: no golden compare happens here, so disable the
+    # wrong-scale golden guard (goldens are pinned at sf0.001/sf0.01)
+    os.environ.setdefault("PDFX_NO_GOLDEN_GUARD", "1")
+    q_times: dict[str, float] = {}
+    for name in BENCH_FAMILIES[family]:
+        tq = time.perf_counter()
+        res = QUERIES[name](SF_DIR)
+        if hasattr(res, "materialize"):
+            res = res.materialize()
+        q_times[name] = round(time.perf_counter() - tq, 3)
+    ray.shutdown()
+    return q_times
 
 
 def run_scaling() -> dict:
@@ -192,5 +235,7 @@ def run_scaling() -> dict:
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
+    elif "--run-family" in sys.argv:
+        print(json.dumps(run_family(sys.argv[sys.argv.index("--run-family") + 1])))
     else:
         print(json.dumps(run_bench()))
