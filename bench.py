@@ -56,7 +56,7 @@ BENCH_FAMILIES: dict[str, list[str]] = {
                        "brand_revenue_bucketed"],
     "graph_lm": ["bigram_perplexity", "dup_ngram_spans", "pagerank",
                  "connected_components", "triangle_count"],
-    "media_warc": ["video_features", "warc_extract"],
+    "media_warc": ["video_features", "warc_extract", "vision_layout_ab"],
 }
 BENCH_QUERIES = [q for fam in BENCH_FAMILIES.values() for q in fam]
 

@@ -1496,6 +1496,25 @@ def q_extract_pages(sf_dir: str) -> pa.Table:
     return pa.Table.from_pandas(out.to_pandas(), preserve_index=False).sort_by("url")
 
 
+def q_vision_layout_ab(sf_dir: str) -> pa.Table:
+    """Vision-analogue A/B (SURVEY S7/A7, reference
+    services/vision_extractor.py:22-61): word pages render to raster ink,
+    round-trip the REAL PNG codec, layout is recovered FROM PIXELS and the
+    same geometry pipeline re-runs over it — a second, image-derived
+    opinion on page structure. ``layout_agree=False`` rows are pages whose
+    ink genuinely overlaps (the rasterization merges touching words — what
+    a real rendered page shows). Actor-pool stage; pinned-golden oracle
+    (PNG round-trip + connected components are not SQL-expressible)."""
+    from .fixtures import build_corpus_table
+    from .stages.vision import VisionLayoutStage
+    n = pq.read_metadata(_p(sf_dir, "documents")).num_rows
+    corpus = rd.from_arrow(build_corpus_table(n, seed=42))
+    out = corpus.map_batches(VisionLayoutStage, batch_size=64,
+                             batch_format="pyarrow", concurrency=(1, 4))
+    return pa.Table.from_pandas(out.to_pandas(),
+                                preserve_index=False).sort_by("url")
+
+
 @ray.remote
 def _jaccard_block_pair(a: pa.Table, b: pa.Table, same_block: bool,
                         threshold: float) -> pa.Table:
@@ -1666,6 +1685,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "doc_fingerprints": q_doc_fingerprints,
     "language_id": q_language_id,
     "extract_pages": q_extract_pages,
+    "vision_layout_ab": q_vision_layout_ab,
     "image_features": q_image_features,
     "audio_features": q_audio_features,
     "video_features": q_video_features,
@@ -1691,7 +1711,7 @@ GOLDEN_ORACLE_QUERIES = ("minhash_near_dup_pairs", "ngram_jaccard_pairs",
                          "language_id", "embedding_ann_lsh",
                          "embedding_near_dup_lsh", "extract_pages",
                          "image_features", "audio_features",
-                         "video_features")
+                         "video_features", "vision_layout_ab")
 
 
 def _golden_sql(name: str, sf: str = "sf0.01") -> str:

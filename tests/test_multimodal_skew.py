@@ -257,3 +257,60 @@ def test_image_decode_normalizes_channels_keeps_native_meta():
     assert [m["channels"] for m in metas] == [1, 4]
     feats = out.column("image_features").to_pylist()
     assert [len(f) for f in feats] == [3, 3]
+
+
+# ---------------------------------------------------------------------------
+# vision-analogue layout A/B (SURVEY S7/A7 — VERDICT r3 missing #2)
+# ---------------------------------------------------------------------------
+
+def test_vision_render_recover_roundtrip_exact():
+    """Non-overlapping word rectangles survive render -> real-PNG roundtrip
+    -> pixel CC recovery with exact counts and coordinates."""
+    import numpy as np
+
+    from pdfextraction_ray import geometry as G
+    from pdfextraction_ray.stages.vision import recover_boxes, render_words
+
+    words = [G.derive_word(t, x, y, x + 30, y + 10)
+             for y in (20.0, 40.0, 61.0)
+             for t, x in (("a", 10.0), ("b", 55.0), ("c", 120.0))]
+    got = recover_boxes(render_words(words))
+    assert len(got) == len(words)
+    sw = sorted(words, key=lambda w: (w["y0"], w["x0"]))
+    for a, b in zip(sw, got):
+        for k in ("x0", "y0", "x1", "y1"):
+            assert abs(a[k] - b[k]) < 1e-9, (k, a, b)
+    lines = G.group_words_into_lines(got)
+    assert len(lines) == 3 and all(len(ln) == 3 for ln in lines)
+
+
+def test_vision_overlapping_ink_merges():
+    """Touching/overlapping word rectangles merge into one ink component —
+    the physically-correct rasterization behavior layout_agree flags."""
+    from pdfextraction_ray import geometry as G
+    from pdfextraction_ray.stages.vision import recover_boxes, render_words
+
+    words = [G.derive_word("a", 10, 20, 50, 30),
+             G.derive_word("b", 45, 20, 90, 30),   # overlaps a
+             G.derive_word("c", 120, 20, 150, 30)]
+    got = recover_boxes(render_words(words))
+    assert len(got) == 2
+    assert abs(got[0]["x0"] - 10) < 1e-9 and abs(got[0]["x1"] - 90) < 1e-9
+
+
+def test_vision_stage_golden_deterministic(ray_session):
+    """The registry query is bit-stable across runs (golden-pinnable) and
+    agrees with the word path on the majority of fixture pages."""
+    from pdfextraction_ray.queries import QUERIES
+
+    fn = getattr(QUERIES["vision_layout_ab"], "__wrapped__",
+                 QUERIES["vision_layout_ab"])
+    a = fn("/root/testdata/sf0.001").to_pandas()
+    b = fn("/root/testdata/sf0.001").to_pandas()
+    assert a.equals(b)
+    assert len(a) == 125  # the word-payload quarter of the 500-row corpus
+    assert a.layout_agree.mean() > 0.5
+    assert (a.n_lines == a.vision_n_lines).all()  # lines always recover
+    # disagreements are exactly the overlapping-ink pages: vision never
+    # sees MORE words than the payload carries
+    assert (a.vision_n_words <= a.n_words).all()

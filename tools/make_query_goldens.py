@@ -36,6 +36,7 @@ GOLDEN_QUERIES = [
     "logreg_train",
     "value_percentiles_hist",
     "video_features",
+    "vision_layout_ab",
 ]
 
 OUT_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
