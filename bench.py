@@ -137,22 +137,33 @@ def run_bench() -> dict:
         rep_s = time.perf_counter() - t0
         headline = rep_s if headline is None else min(headline, rep_s)
 
-    q_times: dict[str, float] = {}
-    if not os.environ.get("GRAFT_BENCH_SKIP_QUERIES"):
-        for fam in BENCH_FAMILIES:  # one fresh Ray session per family
-            out = subprocess.run(
-                [sys.executable, os.path.abspath(__file__), "--run-family",
-                 fam], capture_output=True, text=True, check=True,
-                cwd=os.path.dirname(os.path.abspath(__file__)),
-                env=dict(os.environ)).stdout
-            q_times.update(json.loads(out.strip().splitlines()[-1]))
-
     # in-session flagship re-run: quantifies session bloat explicitly
     # instead of letting it contaminate per-query numbers
     shutil.rmtree(out_dir, ignore_errors=True)
     t0 = time.perf_counter()
     extract_pipeline(paths).write_parquet(out_dir)
     insession = time.perf_counter() - t0
+    # the family subprocesses each start their own Ray head — shut this
+    # session down first so two heads never double-reserve the object store
+    ray.shutdown()
+
+    q_times: dict[str, float] = {}
+    if not os.environ.get("GRAFT_BENCH_SKIP_QUERIES"):
+        import tempfile
+        for fam in BENCH_FAMILIES:  # one fresh Ray session per family
+            with tempfile.NamedTemporaryFile("r", suffix=".json") as tf:
+                # result rides a file, not stdout — raylet/library prints
+                # after the JSON line must not kill the whole bench run
+                proc = subprocess.run(
+                    [sys.executable, os.path.abspath(__file__),
+                     "--run-family", fam, "--out", tf.name],
+                    capture_output=True, text=True,
+                    cwd=os.path.dirname(os.path.abspath(__file__)),
+                    env=dict(os.environ))
+                if proc.returncode != 0:
+                    raise RuntimeError(
+                        f"bench family {fam!r} failed:\n{proc.stderr[-4000:]}")
+                q_times.update(json.load(open(tf.name)))
 
     result = {
         "metric": "flagship_extract_sec",
@@ -236,6 +247,10 @@ if __name__ == "__main__":
     if "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
     elif "--run-family" in sys.argv:
-        print(json.dumps(run_family(sys.argv[sys.argv.index("--run-family") + 1])))
+        res = run_family(sys.argv[sys.argv.index("--run-family") + 1])
+        if "--out" in sys.argv:
+            with open(sys.argv[sys.argv.index("--out") + 1], "w") as f:
+                json.dump(res, f)
+        print(json.dumps(res))
     else:
         print(json.dumps(run_bench()))

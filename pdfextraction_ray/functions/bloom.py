@@ -87,6 +87,27 @@ def bloom_or(parts: list[np.ndarray]) -> np.ndarray:
     return out
 
 
+def bloom_from_dataset(ds, key_col: str, m_bits: int, k: int) -> np.ndarray:
+    """Build the filter DISTRIBUTED from a Dataset's blocks: each block
+    emits a partial filter over its own keys (one binary row), the partials
+    OR-merge on the driver — which holds only the m_bits/8-byte image, never
+    the keys. The shared shape behind every bloom-pruned semi-join."""
+    def partial(t: pa.Table) -> pa.Table:
+        # sort-shuffle aggregates can emit empty zero-COLUMN blocks
+        if t.num_rows == 0:
+            bits = np.zeros(m_bits // 8, dtype=np.uint8)
+        else:
+            bits = bloom_build(t.column(key_col), m_bits, k)
+        return pa.table({"bloom": pa.array([bits.tobytes()], pa.binary())})
+
+    parts = [np.frombuffer(r["bloom"], dtype=np.uint8) for r in
+             ds.map_batches(partial, batch_format="pyarrow",
+                            batch_size=None).take_all()]
+    if not parts:
+        return np.zeros(m_bits // 8, dtype=np.uint8)
+    return bloom_or(parts)
+
+
 def bloom_contains(bits: np.ndarray, keys, m_bits: int, k: int) -> np.ndarray:
     """Vectorized membership test; True may be a false positive, False is
     always correct."""

@@ -114,10 +114,12 @@ class BucketedBuildSide:
             empty = ray.put(schema.empty_table())
             self.refs = [empty] * n_buckets
             return self
+        if schema is None:
+            schema = ds.schema().base_schema
         pieces = []
         for r in block_refs:
             out = _split_block_to_buckets.options(
-                num_returns=n_buckets).remote(r, key_col, n_buckets)
+                num_returns=n_buckets).remote(r, key_col, n_buckets, schema)
             pieces.append([out] if n_buckets == 1 else out)
         self.refs = [_concat_bucket_pieces.remote(*[p[b] for p in pieces])
                      for b in range(n_buckets)]
@@ -135,9 +137,15 @@ _BUCKET_CACHE_MAX = 256
 
 
 @ray.remote
-def _split_block_to_buckets(tbl: pa.Table, key_col: str, n_buckets: int):
+def _split_block_to_buckets(tbl: pa.Table, key_col: str, n_buckets: int,
+                            schema: pa.Schema):
     """One block -> its n_buckets bucket pieces (tuple return, one object
-    ref per bucket — consumers fetch only the piece they need)."""
+    ref per bucket — consumers fetch only the piece they need). Ray's
+    sort-shuffle aggregates can emit EMPTY blocks with an empty (zero-
+    column) schema; those become typed empty pieces via ``schema``."""
+    if tbl.num_rows == 0:
+        empty = schema.empty_table()
+        return empty if n_buckets == 1 else tuple([empty] * n_buckets)
     buckets = _bucket_of(tbl.column(key_col), n_buckets)
     order = np.argsort(buckets, kind="stable")
     sorted_tbl = tbl.take(pa.array(order))

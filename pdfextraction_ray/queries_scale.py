@@ -24,7 +24,7 @@ import ray
 import ray.data as rd
 from ray.data.aggregate import Sum
 
-from .functions.bloom import (bloom_build, bloom_contains, bloom_or,
+from .functions.bloom import (bloom_contains, bloom_from_dataset,
                               bloom_params)
 from .functions.joins import bucketed_join
 from .queries_curation import _roundf
@@ -61,22 +61,14 @@ def q_orders_bloom_semi_join(sf_dir: str) -> pa.Table:
             batch_format="pyarrow") \
         .select_columns(["c_custkey"]).materialize()
 
-    def partial_bloom(t: pa.Table) -> pa.Table:
-        bits = bloom_build(t.column("c_custkey"), m_bits, k)
-        return pa.table({"bloom": pa.array([bits.tobytes()], pa.binary())})
-
-    parts = [np.frombuffer(r["bloom"], dtype=np.uint8) for r in
-             keep.map_batches(partial_bloom, batch_format="pyarrow",
-                              batch_size=None).take_all()]
+    build_keys = pa.Table.from_pandas(keep.to_pandas(), preserve_index=False)
     # empty build side (no customer clears the threshold): the semi-join
-    # result is empty by definition — return it typed instead of letting
-    # bloom_or index into an empty partial list
-    if not parts:
+    # result is empty by definition — return it typed
+    if build_keys.num_rows == 0:
         return pa.table({"o_orderpriority": pa.array([], pa.string()),
                          "n_orders": pa.array([], pa.int64()),
                          "total_price": pa.array([], pa.float32())})
-    bloom_ref = ray.put(bloom_or(parts))
-    build_keys = pa.Table.from_pandas(keep.to_pandas(), preserve_index=False)
+    bloom_ref = ray.put(bloom_from_dataset(keep, "c_custkey", m_bits, k))
 
     def prune(t: pa.Table) -> pa.Table:
         bits = ray.get(bloom_ref)

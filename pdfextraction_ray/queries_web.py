@@ -234,7 +234,7 @@ def q_dup_ngram_spans(sf_dir: str,
         g = g.select(["gram", "gram_count"])
         return g.rename_columns(["gram", "n"])
 
-    from .functions.bloom import (bloom_build, bloom_contains, bloom_or,
+    from .functions.bloom import (bloom_contains, bloom_from_dataset,
                                   bloom_params)
     from .functions.joins import (BucketedBuildSide, _bucket_of,
                                   _cached_bucket)
@@ -260,21 +260,12 @@ def q_dup_ngram_spans(sf_dir: str,
             return dup_sorted[idx] == hs
     else:
         # scale regime: distributed bloom prune + bucketed exact verify
-        n_buckets = int(max(8, n_dup_grams // 250_000 + 8))
+        n_buckets = _graph_buckets(n_dup_grams)
         side = BucketedBuildSide.from_dataset(
             dup, "gram", n_buckets, schema=pa.schema([("gram", pa.int64())]))
         refs = side.refs
         m_bits, k = bloom_params(n_dup_grams, 0.01)
-
-        def partial_bloom(t: pa.Table) -> pa.Table:
-            bits = bloom_build(t.column("gram"), m_bits, k)
-            return pa.table({"bloom": pa.array([bits.tobytes()],
-                                               pa.binary())})
-
-        parts = [np.frombuffer(r["bloom"], dtype=np.uint8) for r in
-                 dup.map_batches(partial_bloom, batch_format="pyarrow",
-                                 batch_size=None).take_all()]
-        bits_ref = ray.put(bloom_or(parts))
+        bits_ref = ray.put(bloom_from_dataset(dup, "gram", m_bits, k))
 
         def membership(hs: np.ndarray) -> np.ndarray:
             bits = ray.get(bits_ref)
@@ -544,7 +535,10 @@ def q_connected_components(sf_dir: str) -> pa.Table:
         return pa.table({"node": t["node"], "l": l_new, "chg": chg})
 
     for _ in range(CC_ROUNDS):
-        offers = bucketed_join(edges, label_ds, probe_key="src",
+        # build side narrowed to (node, l): from round 2 label_ds also
+        # carries chg, which must not ship in every bucket
+        offers = bucketed_join(edges, label_ds.select_columns(["node", "l"]),
+                               probe_key="src",
                                build_key="node", value_cols=["l"],
                                n_buckets=n_buckets, join_type="left") \
             .map_batches(offer_min, batch_format="pyarrow")
@@ -1340,18 +1334,27 @@ def q_warc_extract(sf_dir: str) -> pa.Table:
     from .sources.warc import read_warc, write_warc_file
     from .stages.parse import parse_batch_task
 
+    # single-node fixture synthesis: workers and the read tasks share this
+    # box's /tmp. On a real cluster WARC files live on shared storage and
+    # only the read path (sources/warc.py) is the product surface — the
+    # writer exists because this sandbox has no crawl data.
     tmp_root = tempfile.mkdtemp(prefix="warc_extract_")
 
     def write_block(t: pa.Table) -> pa.Table:
         ids = t.column("doc_id").to_pylist()
         recs = []
         for did, tx in zip(ids, t.column("text").to_pylist()):
+            # the extractor whitespace-normalizes (collapse runs, strip) —
+            # any text the normalization would change must fail here, not
+            # silently desynchronize the oracle
             if ("<" in tx or ">" in tx or "&" in tx
-                    or len(tx) < _WARC_MIN_CHARS):
+                    or len(tx) < _WARC_MIN_CHARS
+                    or tx != " ".join(tx.split()) or not tx):
                 raise ValueError(
                     f"doc {did} violates the warc fixture contract "
-                    "(markup metacharacters or text below the extractor's "
-                    "length bar would desynchronize the SQL oracle)")
+                    "(markup metacharacters, non-normalized whitespace, or "
+                    "text below the extractor's length bar would "
+                    "desynchronize the SQL oracle)")
             html = f"<html><body><p>{tx}</p></body></html>"
             recs.append((f"http://warc.test/doc/{did}", WARC_TS_FIXED,
                          html.encode("utf-8")))

@@ -137,7 +137,11 @@ def derive_overrides(corrections: "rd.Dataset", *,
     by_domain: dict[str, dict[str, Any]] = {}
     for domain, grp in df.groupby("domain", sort=True):
         params: dict[str, Any] = {}
-        counts = grp.groupby("error_type").n.sum()
+        # proximity clustering only exists on the words path — html
+        # corrections must not turn the words knob (doc_kind routes which
+        # knob each error class may touch)
+        wgrp = grp[grp.doc_kind == "words"]
+        counts = wgrp.groupby("error_type").n.sum()
         trunc = int(counts.get("truncated_value", 0))
         merged = int(counts.get("merged_value", 0))
         fixable = trunc + merged

@@ -77,10 +77,12 @@ def recover_boxes(img: np.ndarray, *, scale: float = RENDER_SCALE,
     """Connected ink components -> word boxes in page (pt) coordinates.
 
     Row-run linking: each image row decomposes into dark runs (vectorized
-    diff); a run continues every open component it horizontally overlaps
-    (merging them if several — the union step of two-pass CC), otherwise it
-    opens a new component. Equivalent to 4-connected labeling for the
-    rectangle-world these pages live in, O(runs) per row.
+    diff); each open component extends with the FIRST unmatched run it
+    horizontally overlaps, otherwise a run opens a new component. For word
+    ink — disjoint rectangles on line-gapped pages, one run per row per
+    component — this equals 4-connected labeling. It is NOT general CC:
+    vertically-touching horizontally-overlapping shapes (absent here)
+    would need the full union-find merge step.
     """
     dark = img < ink_threshold
     open_boxes: list[list[int]] = []  # [c0, c1, r0, r_last] per component

@@ -150,3 +150,24 @@ def test_wrong_value_and_no_error_rows_derive_nothing(ray_session):
     rep = report.to_pandas()
     assert set(rep.error_type) == {"wrong_value"}
     assert rep.n.sum() == 2  # the no_error row was dropped
+
+
+def test_html_truncations_do_not_turn_words_knob(ray_session):
+    """doc_kind routes which knob an error class may touch: truncated html
+    corrections carry no evidence about word clustering and must not derive
+    a proximity override."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from pdfextraction_ray.stages.feedback import derive_overrides
+
+    corrections = rd.from_arrow(pa.table({
+        "url": [f"http://h.example/{i}" for i in range(3)],
+        "field": ["extracted_text"] * 3,
+        "expected": ["alpha beta gamma"] * 3,
+        "got": ["alpha beta"] * 3,
+        "doc_kind": ["html"] * 3}))
+    overrides, report = derive_overrides(corrections)
+    assert "proximity_multiplier" not in overrides.by_domain.get(
+        "h.example", {})
+    assert set(report.to_pandas().error_type) == {"truncated_value"}

@@ -145,3 +145,33 @@ def test_bloom_no_false_negatives_with_null_int_key(ray_session):
     probe = pa.array([7, None, 14, 21, 3], pa.int64())
     got = bloom_contains(bits, probe, m, k)
     assert bool(got[0]) and bool(got[2]) and bool(got[3])  # real members
+
+
+def test_dataset_build_side_tolerates_empty_schema_blocks(ray_session):
+    """Ray's sort-shuffle aggregates emit empty ZERO-COLUMN blocks at some
+    layouts; from_dataset must type them from the declared schema instead
+    of KeyError-ing in the split task (hit live at sf0.1, r4)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray
+    import ray.data as rd
+
+    from pdfextraction_ray.functions.joins import (_split_block_to_buckets,
+                                                   bucketed_join)
+
+    schema = pa.schema([("k", pa.int64()), ("v", pa.int64())])
+    pieces = ray.get(_split_block_to_buckets.options(num_returns=4).remote(
+        pa.table({}), "k", 4, schema))
+    assert all(p.schema.equals(schema) and p.num_rows == 0 for p in pieces)
+
+    # end-to-end: a build dataset whose groupby layout includes empty blocks
+    t = pa.table({"k": pa.array(np.arange(2000) % 7, pa.int64()),
+                  "v": pa.array(np.ones(2000), pa.int64())})
+    from ray.data.aggregate import Sum
+    build = rd.from_arrow(t).repartition(16).groupby("k") \
+        .aggregate(Sum("v", alias_name="v"))
+    probe = rd.from_arrow(pa.table({"k": pa.array([0, 3, 99], pa.int64())}))
+    out = bucketed_join(probe, build, probe_key="k", build_key="k",
+                        value_cols=["v"], n_buckets=4,
+                        join_type="left").to_pandas().sort_values("k")
+    assert out.v.dropna().astype(int).tolist() == [286, 286]

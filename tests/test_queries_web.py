@@ -434,3 +434,26 @@ def test_warc_extract_matches_oracle_and_cleans_up(ray_session, tmp_path,
     for c in ["doc_id", "n_chars", "n_tokens"]:
         assert np.array_equal(ours[c].values, theirs[c].values), c
     assert not list(tmp_path.glob("warc_extract_*"))  # fixture dir removed
+
+
+def test_warc_fixture_guard_rejects_nonnormalized_whitespace(ray_session,
+                                                             tmp_path):
+    """The extractor whitespace-normalizes; a doc whose text a
+    normalization would change must fail the fixture guard loudly instead
+    of silently desynchronizing the oracle."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq_
+    import pytest
+    import ray
+
+    from pdfextraction_ray.queries_web import q_warc_extract
+
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq_.write_table(pa.table({
+        "doc_id": pa.array([0], pa.int64()),
+        "text": ["alpha  beta gamma delta epsilon zeta"]}),  # double space
+        str(d / "documents.parquet"))
+    with pytest.raises(ray.exceptions.RayTaskError,
+                       match="fixture contract"):
+        q_warc_extract(str(d))
