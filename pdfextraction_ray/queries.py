@@ -1508,9 +1508,11 @@ def q_vision_layout_ab(sf_dir: str) -> pa.Table:
     from .fixtures import build_corpus_table
     from .stages.vision import VisionLayoutStage
     n = pq.read_metadata(_p(sf_dir, "documents")).num_rows
-    corpus = rd.from_arrow(build_corpus_table(n, seed=42))
-    out = corpus.map_batches(VisionLayoutStage, batch_size=64,
-                             batch_format="pyarrow", concurrency=(1, 4))
+    # from_arrow yields ONE block — split it or a single actor gets all work
+    corpus = rd.from_arrow(build_corpus_table(n, seed=42)) \
+        .repartition(max(8, n // 200))
+    out = corpus.map_batches(VisionLayoutStage, batch_size=32,
+                             batch_format="pyarrow", concurrency=(2, 12))
     return pa.Table.from_pandas(out.to_pandas(),
                                 preserve_index=False).sort_by("url")
 

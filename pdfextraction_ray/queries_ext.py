@@ -206,52 +206,63 @@ ORDER BY doc_id
 # ---------------------------------------------------------------------------
 # benchmark decontamination: flag documents sharing any word-5-gram with a
 # held-out benchmark set (doc_id % 10 == 0 stands in for the benchmark).
-# Two streaming passes: (1) benchmark grams -> distinct -> broadcast set,
-# (2) every other doc membership-checked per batch. The broadcast side is
-# benchmark-sized, not corpus-sized; at 100 TB the gram STRINGS become
-# 64-bit hashes bucketed via functions/joins.BucketedBuildSide (strings kept
-# here because the SQL oracle compares exact grams).
+# Two FULLY-VECTORIZED streaming passes over the polynomial window-hash
+# kernel shared with dup_ngram_spans: (1) benchmark docs -> per-batch
+# distinct window hashes -> driver union (benchmark-sized) -> broadcast
+# sorted u64; (2) every other doc's windows membership-check by
+# searchsorted, per-doc DISTINCT hit counts via one np.unique over the
+# member (doc, hash) pairs. Grams match by 64-bit hash where the SQL
+# oracle compares exact strings — divergence probability ~(#grams)^2/2^64,
+# the same documented trade as dup_ngram_spans. At 100 TB the broadcast
+# stays benchmark-sized (held-out suites are small by nature); were it
+# ever corpus-scale, functions/bloom.bloom_from_dataset + the bucketed
+# verify is the drop-in (see q_dup_ngram_spans' gated scale path).
 # ---------------------------------------------------------------------------
 
 DECONTAM_BENCH_MOD = 10
 DECONTAM_K = 5
 
 
-def _doc_grams(text: str, k: int = DECONTAM_K) -> set:
-    toks = text.split(" ")
-    if len(toks) < k:
-        return set()
-    return {" ".join(toks[i:i + k]) for i in range(len(toks) - k + 1)}
-
-
 def q_decontaminate(sf_dir: str) -> pa.Table:
+    from .queries_web import _window_hashes
+
     docs = _p(sf_dir, "documents")
 
     def bench_grams(t: pa.Table) -> pa.Table:
         ids = t.column("doc_id").to_numpy(zero_copy_only=False)
-        keep = pa.array(ids % DECONTAM_BENCH_MOD == 0)  # no pc.mod kernel
-        grams: set = set()
-        for text in t.filter(keep).column("text").to_pylist():
-            grams |= _doc_grams(text)
-        return pa.table({"gram": pa.array(sorted(grams), pa.string())})
+        sub = t.filter(pa.array(ids % DECONTAM_BENCH_MOD == 0))
+        h, _ = _window_hashes(sub.column("text"), DECONTAM_K)
+        return pa.table({"gram": pa.array(np.unique(h.view(np.int64)),
+                                          pa.int64())})
 
-    bench = rd.read_parquet(docs, columns=["doc_id", "text"]) \
-        .map_batches(bench_grams, batch_format="pyarrow")
-    bench_ref = ray.put(frozenset(bench.unique("gram")))
+    rows = rd.read_parquet(docs, columns=["doc_id", "text"]) \
+        .map_batches(bench_grams, batch_format="pyarrow").take_all()
+    bench_sorted = (np.unique(np.array([r["gram"] for r in rows],
+                                       dtype=np.int64))
+                    if rows else np.empty(0, np.int64))
+    bench_ref = ray.put(bench_sorted)
 
     def hits(t: pa.Table) -> pa.Table:
         bset = ray.get(bench_ref)
         ids = t.column("doc_id").to_numpy(zero_copy_only=False)
         t = t.filter(pa.array(ids % DECONTAM_BENCH_MOD != 0))
-        ids, counts = [], []
-        for did, text in zip(t.column("doc_id").to_pylist(),
-                             t.column("text").to_pylist()):
-            n = len(_doc_grams(text) & bset)
-            if n:
-                ids.append(did)
-                counts.append(n)
-        return pa.Table.from_pydict({"doc_id": pa.array(ids, pa.int64()),
-                                     "n_hits": pa.array(counts, pa.int64())})
+        h, n_win = _window_hashes(t.column("text"), DECONTAM_K)
+        hs = h.view(np.int64)
+        if len(bset) and len(hs):
+            idx = np.searchsorted(bset, hs)
+            idx[idx >= len(bset)] = len(bset) - 1
+            member = bset[idx] == hs
+        else:
+            member = np.zeros(len(hs), dtype=bool)
+        doc_of = np.repeat(np.arange(len(t)), n_win)
+        pairs = np.unique(np.stack([doc_of[member], hs[member]], axis=1),
+                          axis=0)  # DISTINCT shared grams per doc
+        counts = np.bincount(pairs[:, 0], minlength=len(t))
+        keep = counts > 0
+        dids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        return pa.Table.from_pydict({
+            "doc_id": pa.array(dids[keep], pa.int64()),
+            "n_hits": pa.array(counts[keep], pa.int64())})
 
     out = rd.read_parquet(docs, columns=["doc_id", "text"]) \
         .map_batches(hits, batch_format="pyarrow")

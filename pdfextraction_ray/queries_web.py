@@ -183,23 +183,24 @@ NGRAM_W = 8
 _POLY = np.uint64(1099511628211)  # FNV prime as the positional multiplier
 
 
-def _window_hashes(texts: pa.ChunkedArray):
-    """(flat window-hash array, per-doc window counts). Docs with fewer
-    than NGRAM_W tokens contribute zero windows."""
+def _window_hashes(texts: pa.ChunkedArray, w: int = NGRAM_W):
+    """(flat window-hash array, per-doc window counts) for ``w``-token
+    sliding windows. Docs with fewer than ``w`` tokens contribute zero
+    windows."""
     toks = pc.split_pattern(texts, " ")
     flat = pc.list_flatten(toks).to_numpy(zero_copy_only=False)
     lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False).astype(np.int64)
     th = pd.util.hash_array(flat, categorize=False)  # stable u64 per token
-    n_win = np.maximum(lens - NGRAM_W + 1, 0)
-    if len(th) < NGRAM_W or n_win.sum() == 0:
+    n_win = np.maximum(lens - w + 1, 0)
+    if len(th) < w or n_win.sum() == 0:
         return np.empty(0, np.uint64), n_win
     # flat polynomial window combine: h_i = sum_j th[i+j] * POLY^j (mod 2^64
     # by design — uint64 wraparound IS the modulus)
-    m = len(th) - NGRAM_W + 1
+    m = len(th) - w + 1
     h = np.zeros(m, dtype=np.uint64)
     mult = np.uint64(1)
     with np.errstate(over="ignore"):
-        for j in range(NGRAM_W):
+        for j in range(w):
             h += th[j:j + m] * mult
             mult = mult * _POLY
     # keep only windows that do not cross a doc boundary
@@ -378,43 +379,51 @@ def q_pagerank(sf_dir: str) -> pa.Table:
         .repartition(max(4, n // 1_000_000 + 4)).materialize()
     n_buckets = _graph_buckets(n)
 
-    def init_rank(t: pa.Table) -> pa.Table:
-        return pa.table({"doc_id": t["doc_id"],
-                         "r": pa.array(np.full(len(t), 1.0 / n), pa.float64())})
-
-    rank_ds = docs.map_batches(init_rank, batch_format="pyarrow")
-
-    def contrib(t: pa.Table) -> pa.Table:
-        g = pa.table({"dst": t["dst"],
-                      "m": pc.divide(t["r"],
-                                     pa.scalar(float(PAGERANK_FANOUT)))}) \
-            .group_by("dst").aggregate([("m", "sum")])
-        g = g.select(["dst", "m_sum"])
-        return g.rename_columns(["dst", "m"])
+    # rank state is SPARSE: only nodes with in-links carry a row; every
+    # absent node's rank is the same closed-form default (iteration 0:
+    # uniform 1/n; later: base = (1-d)/n, zero in-link mass). The edge join
+    # LEFT-fills the default, so each iteration is ONE map-side join + ONE
+    # groupby — no per-iteration pass over the doc_id stream at all.
+    rank_ds = None          # iteration-0 sentinel: uniform 1/n everywhere
+    default_r = 1.0 / n
 
     def next_rank(t: pa.Table) -> pa.Table:
-        m = pc.fill_null(t["m"], 0.0)  # null = no in-links = baseline
         r = pc.add(pa.scalar(base),
-                   pc.multiply(pa.scalar(PAGERANK_D), m))
-        return pa.table({"doc_id": t["doc_id"], "r": r})
+                   pc.multiply(pa.scalar(PAGERANK_D), t["m"]))
+        return pa.table({"doc_id": t["dst"], "r": r})
 
     for _ in range(PAGERANK_ITERS):
-        joined = bucketed_join(edges, rank_ds, probe_key="src",
-                               build_key="doc_id", value_cols=["r"],
-                               n_buckets=n_buckets, join_type="left")
-        agg = joined.map_batches(contrib, batch_format="pyarrow") \
+        def contrib(t: pa.Table, _default=default_r) -> pa.Table:
+            r = (pc.fill_null(t["r"], _default) if "r" in t.column_names
+                 else pa.array(np.full(len(t), _default), pa.float64()))
+            g = pa.table({"dst": t["dst"],
+                          "m": pc.divide(r, pa.scalar(float(PAGERANK_FANOUT)))}) \
+                .group_by("dst").aggregate([("m", "sum")])
+            g = g.select(["dst", "m_sum"])
+            return g.rename_columns(["dst", "m"])
+
+        src = edges if rank_ds is None else bucketed_join(
+            edges, rank_ds, probe_key="src", build_key="doc_id",
+            value_cols=["r"], n_buckets=n_buckets, join_type="left")
+        agg = src.map_batches(contrib, batch_format="pyarrow") \
             .groupby("dst").aggregate(Sum("m", alias_name="m"))
-        rank_ds = bucketed_join(docs, agg, probe_key="doc_id",
-                                build_key="dst", value_cols=["m"],
-                                n_buckets=n_buckets, join_type="left") \
-            .map_batches(next_rank, batch_format="pyarrow").materialize()
+        rank_ds = agg.map_batches(next_rank,
+                                  batch_format="pyarrow").materialize()
+        default_r = base  # absent node = zero in-link mass from now on
 
     def to_ppm(t: pa.Table) -> pa.Table:
-        ppm = pc.round(pc.multiply(t["r"], pa.scalar(1e6)), ndigits=3,
+        r = pc.fill_null(t["m"], default_r)  # absent = zero in-link mass
+        ppm = pc.round(pc.multiply(r, pa.scalar(1e6)), ndigits=3,
                        round_mode="half_towards_infinity")
         return pa.table({"doc_id": t["doc_id"], "rank_ppm": ppm})
 
-    out = rank_ds.map_batches(to_ppm, batch_format="pyarrow")
+    # ONE final pass attaches the sparse rank to the full doc_id stream
+    out = bucketed_join(docs, rank_ds.map_batches(
+            lambda t: t.rename_columns(["doc_id", "m"]),
+            batch_format="pyarrow"),
+        probe_key="doc_id", build_key="doc_id", value_cols=["m"],
+        n_buckets=n_buckets, join_type="left") \
+        .map_batches(to_ppm, batch_format="pyarrow")
     t = pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
     return t.sort_by([("doc_id", "ascending")])
 

@@ -87,7 +87,12 @@ def recover_boxes(img: np.ndarray, *, scale: float = RENDER_SCALE,
     dark = img < ink_threshold
     open_boxes: list[list[int]] = []  # [c0, c1, r0, r_last] per component
     done: list[list[int]] = []
-    for r in range(img.shape[0]):
+    # only rows containing ink do per-row work — pages are mostly blank
+    # (the per-box `last row < r - 1` close check below is gap-size
+    # agnostic, so skipping blank rows changes nothing semantically)
+    ink_rows = np.flatnonzero(dark.any(axis=1))
+    for r in ink_rows:
+        r = int(r)
         row = dark[r]
         edges = np.flatnonzero(np.diff(np.concatenate(
             ([0], row.view(np.int8), [0]))))
@@ -162,9 +167,10 @@ class VisionLayoutStage:
                 continue
             words = decode_words(payload)
             img = render_words(words, scale=self.scale, margin=self.margin)
-            png = png_encode(img[:, :, None].repeat(3, axis=2))
+            png = png_encode(img)  # grayscale: a page render has one channel
             decoded = png_decode(png)
-            vwords = recover_boxes(decoded[:, :, 0], scale=self.scale,
+            gray = decoded[:, :, 0] if decoded.ndim == 3 else decoded
+            vwords = recover_boxes(gray, scale=self.scale,
                                    margin=self.margin)
             lines = G.group_words_into_lines(words)
             vlines = G.group_words_into_lines(vwords)
