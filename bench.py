@@ -53,7 +53,7 @@ BENCH_FAMILIES: dict[str, list[str]] = {
                   "value_percentiles_hist", "orders_rollup", "funnel_stages"],
     "training_scale": ["doc_chunks", "sequence_packing", "split_assignment",
                        "domain_quota_sample", "orders_bloom_semi_join",
-                       "brand_revenue_bucketed"],
+                       "brand_revenue_bucketed", "bucketed_storage_join"],
     "graph_lm": ["bigram_perplexity", "dup_ngram_spans", "pagerank",
                  "connected_components", "triangle_count"],
     "media_warc": ["video_features", "warc_extract", "vision_layout_ab"],

@@ -213,6 +213,74 @@ FROM s GROUP BY split ORDER BY split
 
 
 # ---------------------------------------------------------------------------
+# bucketed STORAGE join: both sides are written bucket-partitioned by the
+# shared key hash (sources/bucketed.py), then the join reads matching
+# bucket pairs with NO shuffle — the exchange was paid once at write time
+# and amortizes over every later join on the same key (Spark bucketBy
+# analogue). One task per bucket; the bucket is the memory unit.
+# ---------------------------------------------------------------------------
+
+BUCKETED_JOIN_BUCKETS = 16
+
+
+def q_bucketed_storage_join(sf_dir: str) -> pa.Table:
+    import shutil
+    import tempfile
+
+    from .sources.bucketed import bucketed_equi_join, write_bucketed
+
+    tmp = tempfile.mkdtemp(prefix="bucketed_join_")
+    try:
+        write_bucketed(
+            rd.read_parquet(_p(sf_dir, "orders"),
+                            columns=["o_custkey", "o_totalprice"]),
+            os.path.join(tmp, "orders"), "o_custkey",
+            BUCKETED_JOIN_BUCKETS)
+        write_bucketed(
+            rd.read_parquet(_p(sf_dir, "customer"),
+                            columns=["c_custkey", "c_mktsegment"]),
+            os.path.join(tmp, "customer"), "c_custkey",
+            BUCKETED_JOIN_BUCKETS)
+        joined = bucketed_equi_join(os.path.join(tmp, "orders"),
+                                    os.path.join(tmp, "customer"),
+                                    join_type="inner")
+
+        def agg_partial(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0:  # an all-empty bucket pair emits no schema
+                return pa.table({
+                    "c_mktsegment": pa.array([], pa.string()),
+                    "n_orders": pa.array([], pa.int64()),
+                    "total_price": pa.array([], pa.float64())})
+            codes, uniq = pd.factorize(
+                t.column("c_mktsegment").to_numpy(zero_copy_only=False))
+            price = t.column("o_totalprice").to_numpy(zero_copy_only=False)
+            return pa.table({
+                "c_mktsegment": pa.array(uniq, pa.string()),
+                "n_orders": pa.array(
+                    np.bincount(codes, minlength=len(uniq)).astype(np.int64)),
+                "total_price": pa.array(
+                    np.bincount(codes, weights=price, minlength=len(uniq)))})
+
+        agg = joined.map_batches(agg_partial, batch_format="pyarrow") \
+            .groupby("c_mktsegment") \
+            .aggregate(Sum("n_orders", alias_name="n_orders"),
+                       Sum("total_price", alias_name="total_price"))
+        t = pa.Table.from_pandas(agg.to_pandas(), preserve_index=False)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    t = _roundf(t, ["total_price"], 2)
+    return t.sort_by([("c_mktsegment", "ascending")])
+
+
+SQL_BUCKETED_STORAGE_JOIN = """
+SELECT c_mktsegment, count(*) AS n_orders,
+       CAST(round(sum(o_totalprice), 2) AS REAL) AS total_price
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment ORDER BY c_mktsegment
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry fragments merged by queries.py
 # ---------------------------------------------------------------------------
 
@@ -220,10 +288,12 @@ SCL_QUERIES: dict[str, Callable[[str], Any]] = {
     "orders_bloom_semi_join": q_orders_bloom_semi_join,
     "domain_quota_sample": q_domain_quota_sample,
     "split_assignment": q_split_assignment,
+    "bucketed_storage_join": q_bucketed_storage_join,
 }
 
 SCL_ORACLES: dict[str, str] = {
     "orders_bloom_semi_join": SQL_ORDERS_BLOOM_SEMI_JOIN,
     "domain_quota_sample": SQL_DOMAIN_QUOTA_SAMPLE,
     "split_assignment": SQL_SPLIT_ASSIGNMENT,
+    "bucketed_storage_join": SQL_BUCKETED_STORAGE_JOIN,
 }

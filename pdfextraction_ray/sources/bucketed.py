@@ -1,0 +1,140 @@
+"""Bucketed Parquet storage: pay the all-to-all exchange ONCE at write
+time, then every downstream equi-join on the same key reads matching
+buckets pairwise with NO shuffle — the Ray-Data-native analogue of Spark's
+``bucketBy`` / Hive bucketed tables, and the storage-level form of the
+"pick ONE partitioning key and reuse it across stages" scale rule.
+
+Layout: ``out_dir/bucket=<b>/*.parquet`` plus a ``_BUCKETS.json`` manifest
+recording (key column, n_buckets, hash name). The bucket id is
+``functions/joins.key_hash_u64 % n_buckets`` — the ONE shared key hash
+every hash-partitioned structure in this engine uses, so a table written
+here is bucket-compatible with the in-memory BucketedBuildSide and the
+Bloom filters. Readers validate the manifest instead of trusting the
+caller: joining two tables bucketed with different n_buckets or keys is a
+silent-wrong-answer class, so it raises.
+
+At cluster scale each bucket-pair join is one independent task reading two
+bucket directories from shared storage — n_buckets-way parallel, no
+repartition, no driver state beyond the bucket id list.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+from typing import Optional, Sequence
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import ray.data as rd
+
+from ..functions.joins import key_hash_u64
+
+_MANIFEST = "_BUCKETS.json"
+_HASH_NAME = "key_hash_u64.v1"
+
+
+def write_bucketed(ds: "rd.Dataset", out_dir: str, key: str,
+                   n_buckets: int = 32) -> str:
+    """Write ``ds`` as bucket-partitioned parquet. One streaming pass: each
+    block tags its rows with the bucket id; the partitioned writer routes
+    rows into ``bucket=<b>/`` directories. Returns ``out_dir``."""
+    if n_buckets < 1:
+        raise ValueError("n_buckets must be >= 1")
+    os.makedirs(out_dir, exist_ok=True)
+
+    def tag(t: pa.Table) -> pa.Table:
+        b = (key_hash_u64(t.column(key)) % np.uint64(n_buckets)).astype(
+            np.int64)
+        return t.append_column("bucket", pa.array(b, pa.int64()))
+
+    ds.map_batches(tag, batch_format="pyarrow") \
+        .write_parquet(out_dir, partition_cols=["bucket"])
+    with open(os.path.join(out_dir, _MANIFEST), "w") as f:
+        json.dump({"key": key, "n_buckets": n_buckets,
+                   "hash": _HASH_NAME}, f)
+    return out_dir
+
+
+def read_bucket_manifest(path: str) -> dict:
+    with open(os.path.join(path, _MANIFEST)) as f:
+        return json.load(f)
+
+
+def _bucket_files(root: str, b: int) -> list[str]:
+    return sorted(glob.glob(os.path.join(root, f"bucket={b}", "*.parquet")))
+
+
+def bucketed_equi_join(left_dir: str, right_dir: str, *,
+                       left_cols: Optional[Sequence[str]] = None,
+                       right_cols: Optional[Sequence[str]] = None,
+                       join_type: str = "inner") -> "rd.Dataset":
+    """Join two bucket-compatible tables with NO shuffle: one task per
+    bucket reads ``left/bucket=b`` + ``right/bucket=b`` and hash-joins them
+    in memory (pyarrow join). Keys hash identically on both sides by the
+    manifest contract, so every match lives in the same bucket pair.
+
+    The bucket is the memory unit: size n_buckets at write time so one
+    bucket pair fits a worker heap (same sizing rule as
+    BucketedBuildSide).
+    """
+    lm, rm = read_bucket_manifest(left_dir), read_bucket_manifest(right_dir)
+    for side, m in (("left", lm), ("right", rm)):
+        if m["hash"] != _HASH_NAME:
+            raise ValueError(f"{side} table bucketed with hash {m['hash']!r},"
+                             f" reader expects {_HASH_NAME!r}")
+    if lm["n_buckets"] != rm["n_buckets"]:
+        raise ValueError(
+            f"bucket count mismatch: left={lm['n_buckets']} "
+            f"right={rm['n_buckets']} — co-located join would be WRONG; "
+            f"rewrite one side with matching n_buckets")
+    n = lm["n_buckets"]
+    lkey, rkey = lm["key"], rm["key"]
+
+    def _read(files, cols):
+        if not files:
+            return None
+        t = pq.read_table(files, columns=cols)
+        # the hive partition column re-materializes on read (dictionary-
+        # typed); it is storage layout, not data — and left/right would
+        # collide on the name after the join
+        if "bucket" in t.column_names:
+            t = t.drop_columns(["bucket"])
+        return t
+
+    def join_bucket(t: pa.Table) -> pa.Table:
+        out = []
+        for b in t.column("b").to_pylist():
+            lf, rf = _bucket_files(left_dir, b), _bucket_files(right_dir, b)
+            left = _read(lf, left_cols)
+            right = _read(rf, right_cols)
+            if left is None or left.num_rows == 0:
+                continue
+            if right is None or right.num_rows == 0:
+                if join_type == "inner":
+                    continue
+                right = pq.read_schema(
+                    _bucket_files(right_dir, _any_bucket(right_dir))[0]
+                ).empty_table()
+                if "bucket" in right.column_names:
+                    right = right.drop_columns(["bucket"])
+                if right_cols:
+                    right = right.select(list(right_cols))
+            out.append(left.join(right, keys=lkey, right_keys=rkey,
+                                 join_type=join_type))
+        if not out:
+            return pa.table({})
+        return pa.concat_tables(out, promote_options="default")
+
+    ids = pa.table({"b": pa.array(list(range(n)), pa.int64())})
+    return rd.from_arrow(ids).repartition(n) \
+        .map_batches(join_bucket, batch_format="pyarrow")
+
+
+def _any_bucket(root: str) -> int:
+    for d in sorted(os.listdir(root)):
+        if d.startswith("bucket="):
+            return int(d.split("=", 1)[1])
+    raise FileNotFoundError(f"no bucket dirs under {root}")

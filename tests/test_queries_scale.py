@@ -135,3 +135,68 @@ def test_bloom_semi_join_empty_build_side(ray_session, monkeypatch):
     t = QS.q_orders_bloom_semi_join(SF)
     assert t.num_rows == 0
     assert t.column_names == ["o_orderpriority", "n_orders", "total_price"]
+
+
+def test_bucketed_storage_join_matches_oracle_and_validates(ray_session,
+                                                            tmp_path):
+    """Write-time bucketing + pairwise bucket reads equal the SQL join, and
+    the manifest guard refuses bucket-incompatible sides (silent-wrong-
+    answer class)."""
+    import duckdb
+    import pytest
+    import pyarrow.parquet as pq_
+    import ray.data as rd
+
+    from pdfextraction_ray.queries_scale import (SQL_BUCKETED_STORAGE_JOIN,
+                                                 q_bucketed_storage_join)
+    from pdfextraction_ray.sources.bucketed import (bucketed_equi_join,
+                                                    write_bucketed)
+
+    ours = q_bucketed_storage_join(SF).to_pandas()
+    con = duckdb.connect()
+    for t in ("orders", "customer"):
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM "
+                f"read_parquet('{SF}/{t}.parquet')")
+    theirs = con.sql(SQL_BUCKETED_STORAGE_JOIN).df()
+    assert list(ours.c_mktsegment) == list(theirs.c_mktsegment)
+    assert list(ours.n_orders) == list(theirs.n_orders)
+    assert np.allclose(ours.total_price,
+                       theirs.total_price.astype(np.float32))
+
+    # incompatible bucket counts must raise, not silently mis-join
+    a = write_bucketed(rd.read_parquet(f"{SF}/customer.parquet",
+                                       columns=["c_custkey"]),
+                       str(tmp_path / "a"), "c_custkey", 4)
+    b = write_bucketed(rd.read_parquet(f"{SF}/orders.parquet",
+                                       columns=["o_custkey"]),
+                       str(tmp_path / "b"), "o_custkey", 8)
+    with pytest.raises(ValueError, match="bucket count mismatch"):
+        bucketed_equi_join(a, b)
+
+
+def test_bucketed_layout_is_key_complete(ray_session, tmp_path):
+    """Every row lands in exactly one bucket dir and all rows of one key
+    share a bucket (the co-location invariant downstream joins rely on)."""
+    import glob
+
+    import pyarrow.parquet as pq_
+    import ray.data as rd
+
+    from pdfextraction_ray.sources.bucketed import write_bucketed
+
+    out = write_bucketed(rd.read_parquet(f"{SF}/orders.parquet",
+                                         columns=["o_custkey"]),
+                         str(tmp_path / "o"), "o_custkey", 8)
+    import pandas as pd
+    files = glob.glob(f"{out}/bucket=*/*.parquet")
+    by_bucket: dict = {}
+    for f in files:
+        b = f.split("bucket=")[1].split("/")[0]
+        by_bucket.setdefault(b, []).append(pq_.read_table(f).to_pandas())
+    frames = {b: pd.concat(dfs) for b, dfs in by_bucket.items()}
+    total = sum(len(df) for df in frames.values())
+    assert total == pq_.read_metadata(f"{SF}/orders.parquet").num_rows
+    seen = {}
+    for b, df in frames.items():
+        for k in df.o_custkey.unique():
+            assert seen.setdefault(k, b) == b  # one bucket per key
