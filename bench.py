@@ -50,7 +50,8 @@ BENCH_FAMILIES: dict[str, list[str]] = {
                   "asof_join", "user_activity_features", "value_change_counts",
                   "rolling_event_stats", "event_type_pivot",
                   "customer_event_full_outer", "value_quartile_buckets",
-                  "value_percentiles_hist", "orders_rollup", "funnel_stages"],
+                  "value_percentiles_hist", "orders_rollup", "funnel_stages",
+                  "user_event_set_ops"],
     "training_scale": ["doc_chunks", "sequence_packing", "split_assignment",
                        "domain_quota_sample", "orders_bloom_semi_join",
                        "brand_revenue_bucketed", "bucketed_storage_join"],

@@ -316,6 +316,78 @@ FROM pairs GROUP BY tok ORDER BY token
 
 
 # ---------------------------------------------------------------------------
+# distinct-set operations (INTERSECT / EXCEPT / UNION over user key sets —
+# SURVEY §2.7 has only dedup-family ops; this adds the set-algebra family).
+# Distributed shape: ONE pass of per-batch (user, has_a, has_b) boolean
+# partials (factorize + bincount-over-mask — each batch collapses to its
+# distinct users), ONE |users|-sized groupby-max, then the three set
+# cardinalities are count-aggregates over the combined flags. No user-id
+# set ever materializes anywhere; the result is one row.
+# ---------------------------------------------------------------------------
+
+SETOP_A = "click"
+SETOP_B = "purchase"
+
+
+def q_user_event_set_ops(sf_dir: str) -> pa.Table:
+    ds = rd.read_parquet(_p(sf_dir, "events"),
+                         columns=["user_id", "event_type"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        uid = t.column("user_id").to_numpy(zero_copy_only=False)
+        et = t.column("event_type").to_numpy(zero_copy_only=False)
+        codes, uniq = pd.factorize(uid)
+        has_a = np.bincount(codes[et == SETOP_A],
+                            minlength=len(uniq)) > 0
+        has_b = np.bincount(codes[et == SETOP_B],
+                            minlength=len(uniq)) > 0
+        return pa.table({"user_id": pa.array(uniq, pa.int64()),
+                         "has_a": pa.array(has_a.astype(np.int64)),
+                         "has_b": pa.array(has_b.astype(np.int64))})
+
+    from ray.data.aggregate import Max
+    flags = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("user_id").aggregate(Max("has_a", alias_name="has_a"),
+                                      Max("has_b", alias_name="has_b"))
+
+    def counts(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:  # sort-shuffle can emit empty zero-column blocks
+            z = pa.array([0], pa.int64())
+            return pa.table({"n_intersect": z, "n_a_except_b": z,
+                             "n_union": z})
+        a = t.column("has_a").to_numpy(zero_copy_only=False) > 0
+        b = t.column("has_b").to_numpy(zero_copy_only=False) > 0
+        return pa.table({
+            "n_intersect": pa.array([int((a & b).sum())], pa.int64()),
+            "n_a_except_b": pa.array([int((a & ~b).sum())], pa.int64()),
+            "n_union": pa.array([int((a | b).sum())], pa.int64())})
+
+    agg = flags.map_batches(counts, batch_format="pyarrow")
+    t = pa.Table.from_pandas(agg.to_pandas(), preserve_index=False)
+    return pa.table({
+        "n_intersect": pa.array([int(t.column("n_intersect").to_numpy().sum())],
+                                pa.int64()),
+        "n_a_except_b": pa.array(
+            [int(t.column("n_a_except_b").to_numpy().sum())], pa.int64()),
+        "n_union": pa.array([int(t.column("n_union").to_numpy().sum())],
+                            pa.int64())})
+
+
+SQL_USER_EVENT_SET_OPS = f"""
+WITH a AS (SELECT DISTINCT user_id FROM events
+           WHERE event_type = '{SETOP_A}'),
+     b AS (SELECT DISTINCT user_id FROM events
+           WHERE event_type = '{SETOP_B}')
+SELECT (SELECT count(*) FROM (SELECT * FROM a INTERSECT SELECT * FROM b))
+           AS n_intersect,
+       (SELECT count(*) FROM (SELECT * FROM a EXCEPT SELECT * FROM b))
+           AS n_a_except_b,
+       (SELECT count(*) FROM (SELECT * FROM a UNION SELECT * FROM b))
+           AS n_union
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry fragments merged by queries.py
 # ---------------------------------------------------------------------------
 
@@ -324,6 +396,7 @@ ANA_QUERIES: dict[str, Callable[[str], Any]] = {
     "top3_events_per_user": q_top3_events_per_user,
     "heavy_hitter_terms": q_heavy_hitter_terms,
     "inverted_index": q_inverted_index,
+    "user_event_set_ops": q_user_event_set_ops,
 }
 
 ANA_ORACLES: dict[str, str] = {
@@ -331,4 +404,5 @@ ANA_ORACLES: dict[str, str] = {
     "top3_events_per_user": SQL_TOP3_EVENTS_PER_USER,
     "heavy_hitter_terms": SQL_HEAVY_HITTER_TERMS,
     "inverted_index": SQL_INVERTED_INDEX,
+    "user_event_set_ops": SQL_USER_EVENT_SET_OPS,
 }

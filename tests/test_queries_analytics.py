@@ -112,3 +112,33 @@ def test_zscore_constant_group_matches_oracle(ray_session, tmp_path):
     theirs = con.sql(SQL_ZSCORE_EVENTS).df()
     assert np.allclose(ours.zscore, theirs.zscore)
     assert (ours.loc[ours.event_type == "flat", "zscore"] == 0).all()
+
+
+def test_user_event_set_ops_algebra(ray_session, tmp_path):
+    """INTERSECT/EXCEPT/UNION cardinalities on a synthetic table where all
+    three differ (the sf corpora are dense enough that EXCEPT is 0 there)."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq_
+
+    from pdfextraction_ray.queries_analytics import (SQL_USER_EVENT_SET_OPS,
+                                                     q_user_event_set_ops)
+
+    d = tmp_path / "sf"
+    d.mkdir()
+    rows = ([(1, "click"), (1, "purchase"), (2, "click"), (3, "purchase"),
+             (4, "view"), (5, "click"), (5, "view")])
+    pq_.write_table(pa.table({
+        "user_id": pa.array([r[0] for r in rows], pa.int64()),
+        "event_type": pa.array([r[1] for r in rows])}),
+        str(d / "events.parquet"))
+    ours = q_user_event_set_ops(str(d)).to_pandas()
+    assert ours.n_intersect[0] == 1      # user 1
+    assert ours.n_a_except_b[0] == 2     # users 2, 5
+    assert ours.n_union[0] == 4          # users 1, 2, 3, 5
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW events AS SELECT * FROM "
+            f"read_parquet('{d}/events.parquet')")
+    theirs = con.sql(SQL_USER_EVENT_SET_OPS).df()
+    for c in ours.columns:
+        assert ours[c][0] == theirs[c][0]
