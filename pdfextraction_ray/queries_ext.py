@@ -243,17 +243,13 @@ def q_decontaminate(sf_dir: str) -> pa.Table:
     bench_ref = ray.put(bench_sorted)
 
     def hits(t: pa.Table) -> pa.Table:
+        from .queries_web import sorted_member
         bset = ray.get(bench_ref)
         ids = t.column("doc_id").to_numpy(zero_copy_only=False)
         t = t.filter(pa.array(ids % DECONTAM_BENCH_MOD != 0))
         h, n_win = _window_hashes(t.column("text"), DECONTAM_K)
         hs = h.view(np.int64)
-        if len(bset) and len(hs):
-            idx = np.searchsorted(bset, hs)
-            idx[idx >= len(bset)] = len(bset) - 1
-            member = bset[idx] == hs
-        else:
-            member = np.zeros(len(hs), dtype=bool)
+        member = sorted_member(bset, hs)
         doc_of = np.repeat(np.arange(len(t)), n_win)
         pairs = np.unique(np.stack([doc_of[member], hs[member]], axis=1),
                           axis=0)  # DISTINCT shared grams per doc

@@ -229,6 +229,11 @@ def q_bucketed_storage_join(sf_dir: str) -> pa.Table:
 
     from .sources.bucketed import bucketed_equi_join, write_bucketed
 
+    # single-node fixture plumbing: this sandbox has no shared FS, so the
+    # bucketed tables land in node-local /tmp. On a real cluster the
+    # write_bucketed target is shared storage (that IS the point of paying
+    # the exchange at write time); sources/bucketed.py itself is
+    # path-agnostic.
     tmp = tempfile.mkdtemp(prefix="bucketed_join_")
     try:
         write_bucketed(

@@ -210,6 +210,17 @@ def _window_hashes(texts: pa.ChunkedArray, w: int = NGRAM_W):
     return h[valid], n_win
 
 
+def sorted_member(sorted_arr: np.ndarray, values: np.ndarray) -> np.ndarray:
+    """Vectorized membership of ``values`` in a SORTED array (searchsorted
+    + clamp + equality) — the shared small-regime kernel for broadcast
+    membership sets (dup-gram spans, decontamination)."""
+    if not len(sorted_arr) or not len(values):
+        return np.zeros(len(values), dtype=bool)
+    idx = np.searchsorted(sorted_arr, values)
+    idx[idx >= len(sorted_arr)] = len(sorted_arr) - 1
+    return sorted_arr[idx] == values
+
+
 def _ranges(counts: np.ndarray) -> np.ndarray:
     """[0..c0-1, 0..c1-1, ...] without a Python loop."""
     total = int(counts.sum())
@@ -253,12 +264,7 @@ def q_dup_ngram_spans(sf_dir: str,
             zero_copy_only=False).astype(np.int64)))
 
         def membership(hs: np.ndarray) -> np.ndarray:
-            dup_sorted = ray.get(dup_ref)
-            if not len(dup_sorted):
-                return np.zeros(len(hs), dtype=bool)
-            idx = np.searchsorted(dup_sorted, hs)
-            idx[idx >= len(dup_sorted)] = len(dup_sorted) - 1
-            return dup_sorted[idx] == hs
+            return sorted_member(ray.get(dup_ref), hs)
     else:
         # scale regime: distributed bloom prune + bucketed exact verify
         n_buckets = _graph_buckets(n_dup_grams)
@@ -388,6 +394,9 @@ def q_pagerank(sf_dir: str) -> pa.Table:
     default_r = 1.0 / n
 
     def next_rank(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:  # sort-shuffle can emit empty zero-column blocks
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "r": pa.array([], pa.float64())})
         r = pc.add(pa.scalar(base),
                    pc.multiply(pa.scalar(PAGERANK_D), t["m"]))
         return pa.table({"doc_id": t["dst"], "r": r})

@@ -46,6 +46,10 @@ def write_bucketed(ds: "rd.Dataset", out_dir: str, key: str,
     os.makedirs(out_dir, exist_ok=True)
 
     def tag(t: pa.Table) -> pa.Table:
+        if "bucket" in t.column_names:
+            raise ValueError(
+                "input already has a 'bucket' column — it is this layout's "
+                "reserved partition column (rename yours before writing)")
         b = (key_hash_u64(t.column(key)) % np.uint64(n_buckets)).astype(
             np.int64)
         return t.append_column("bucket", pa.array(b, pa.int64()))
@@ -80,6 +84,12 @@ def bucketed_equi_join(left_dir: str, right_dir: str, *,
     bucket pair fits a worker heap (same sizing rule as
     BucketedBuildSide).
     """
+    if join_type not in ("inner", "left outer"):
+        # right/full outer would need the symmetric right-only-bucket path
+        # join_bucket doesn't implement — refuse loudly rather than drop
+        # right-side rows silently
+        raise ValueError(f"join_type {join_type!r} unsupported: use 'inner' "
+                         f"or 'left outer'")
     lm, rm = read_bucket_manifest(left_dir), read_bucket_manifest(right_dir)
     for side, m in (("left", lm), ("right", rm)):
         if m["hash"] != _HASH_NAME:
@@ -137,4 +147,7 @@ def _any_bucket(root: str) -> int:
     for d in sorted(os.listdir(root)):
         if d.startswith("bucket="):
             return int(d.split("=", 1)[1])
-    raise FileNotFoundError(f"no bucket dirs under {root}")
+    raise ValueError(
+        f"{root} has a bucket manifest but no data files (empty table) — "
+        f"the outer join cannot infer its value-column types; use an inner "
+        f"join or write the empty side with at least its schema")

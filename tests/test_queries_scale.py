@@ -200,3 +200,34 @@ def test_bucketed_layout_is_key_complete(ray_session, tmp_path):
     for b, df in frames.items():
         for k in df.o_custkey.unique():
             assert seen.setdefault(k, b) == b  # one bucket per key
+
+
+def test_bucketed_join_left_outer_and_guards(ray_session, tmp_path):
+    """left-outer support, reserved-column guard, and unsupported-type
+    refusal (right/full outer would silently drop right-only buckets)."""
+    import pytest
+    import pyarrow as pa
+    import ray.data as rd
+
+    from pdfextraction_ray.sources.bucketed import (bucketed_equi_join,
+                                                    write_bucketed)
+
+    left = rd.from_arrow(pa.table({
+        "k": pa.array([1, 2, 3, 99], pa.int64()),
+        "lv": pa.array([10, 20, 30, 990], pa.int64())}))
+    right = rd.from_arrow(pa.table({
+        "k": pa.array([1, 3], pa.int64()),
+        "rv": pa.array([100, 300], pa.int64())}))
+    ld = write_bucketed(left, str(tmp_path / "l"), "k", 4)
+    rdir = write_bucketed(right, str(tmp_path / "r"), "k", 4)
+    out = bucketed_equi_join(ld, rdir, join_type="left outer") \
+        .to_pandas().sort_values("k").reset_index(drop=True)
+    assert list(out.k) == [1, 2, 3, 99]
+    assert out.rv.isna().sum() == 2  # unmatched left rows survive with nulls
+
+    with pytest.raises(ValueError, match="unsupported"):
+        bucketed_equi_join(ld, rdir, join_type="full outer")
+    with pytest.raises(Exception, match="reserved partition column"):
+        bad = rd.from_arrow(pa.table({"k": pa.array([1], pa.int64()),
+                                      "bucket": pa.array([0], pa.int64())}))
+        write_bucketed(bad, str(tmp_path / "bad"), "k", 2)
