@@ -94,26 +94,30 @@ def q_bigram_perplexity(sf_dir: str) -> pa.Table:
         g = df.groupby(["w1", "w2"], sort=False).size().reset_index(name="c")
         return pa.Table.from_pandas(g, preserve_index=False)
 
-    big_ds = docs.map_batches(pair_partial, batch_format="pyarrow") \
-        .groupby(["w1", "w2"]).aggregate(Sum("c", alias_name="c"))
+    big_all = docs.map_batches(pair_partial, batch_format="pyarrow") \
+        .groupby(["w1", "w2"]).aggregate(Sum("c", alias_name="c")) \
+        .materialize()
     # prune the singleton tail INSIDE the dataset, then key it for the
     # bucketed join — the model never materializes on the driver
-    big_keyed = big_ds.filter(expr=f"c >= {BIGRAM_MIN_COUNT}") \
+    big_keyed = big_all.filter(expr=f"c >= {BIGRAM_MIN_COUNT}") \
         .map_batches(
             lambda t: pa.table({"bkey": _bigram_keys(t.column("w1"),
                                                      t.column("w2")),
                                 "c": t["c"]}),
             batch_format="pyarrow").materialize()
 
-    # unigram context totals: their own per-batch-partial groupby (NOT
-    # derived from the pruned bigram table — c(w1,*) is unpruned)
+    # unigram context totals derive from the UNpruned bigram aggregate —
+    # c(w1,*) = sum_w2 c(w1,w2) exactly, and the bigram table is orders of
+    # magnitude smaller than the corpus (saves a full corpus pass)
     def uni_partial(t: pa.Table) -> pa.Table:
-        _ids, w1, _w2 = _bigrams(t)
-        df = pd.DataFrame({"w1": w1})
-        g = df.groupby("w1", sort=False).size().reset_index(name="c1")
-        return pa.Table.from_pandas(g, preserve_index=False)
+        if t.num_rows == 0:  # sort-shuffle can emit empty zero-column blocks
+            return pa.table({"w1": pa.array([], pa.string()),
+                             "c1": pa.array([], pa.int64())})
+        g = t.select(["w1", "c"]).group_by("w1").aggregate([("c", "sum")])
+        g = g.select(["w1", "c_sum"])
+        return g.rename_columns(["w1", "c1"])
 
-    uni_ds = docs.map_batches(uni_partial, batch_format="pyarrow") \
+    uni_ds = big_all.map_batches(uni_partial, batch_format="pyarrow") \
         .groupby("w1").aggregate(Sum("c1", alias_name="c1")).materialize()
 
     def tok_partial(t: pa.Table) -> pa.Table:
