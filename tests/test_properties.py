@@ -168,3 +168,71 @@ def test_weighted_sample_priority_batch_invariance(items):
     for part in np.array_split(np.arange(len(ids)), 3):
         merged += sorted(zip(pri[part], ids[part]))[:k]
     assert sorted(merged)[:k] == whole
+
+
+@given(st.lists(st.integers(-10**9, 10**9), min_size=0, max_size=200),
+       st.lists(st.integers(-10**9, 10**9), min_size=0, max_size=200))
+@settings(max_examples=60, deadline=None)
+def test_sorted_member_equals_isin(members, probes):
+    """sorted_member (the shared searchsorted membership kernel) equals
+    np.isin on arbitrary int64 inputs, including empties and duplicates."""
+    import numpy as np
+
+    from pdfextraction_ray.queries_web import sorted_member
+
+    srt = np.unique(np.array(members, dtype=np.int64))
+    p = np.array(probes, dtype=np.int64)
+    got = sorted_member(srt, p)
+    assert got.tolist() == np.isin(p, srt).tolist()
+
+
+@given(st.lists(st.tuples(st.integers(0, 30), st.integers(0, 20),
+                          st.integers(3, 12), st.integers(2, 4)),
+                min_size=1, max_size=25))
+@settings(max_examples=40, deadline=None)
+def test_vision_roundtrip_recovers_disjoint_boxes(specs):
+    """render -> pixel CC recovery is exact for any set of word boxes once
+    boxes that touch/overlap are merged — the property the vision A/B
+    relies on. Boxes are laid out on a grid with >=1pt separation so the
+    expected component count equals the box count."""
+    import numpy as np
+
+    from pdfextraction_ray import geometry as G
+    from pdfextraction_ray.stages.vision import recover_boxes, render_words
+
+    words = []
+    for i, (col, row, w, h) in enumerate(specs[:25]):
+        x0 = col * 45.0          # grid pitch > max width (12+margin)
+        y0 = row * 8.0           # grid pitch > max height (4+margin)
+        words.append(G.derive_word(f"w{i}", x0, y0, x0 + w, y0 + h))
+    # dedupe grid cells (two boxes in one cell would overlap)
+    seen, uniq = set(), []
+    for w, (col, row, *_rest) in zip(words, specs):
+        if (col, row) not in seen:
+            seen.add((col, row))
+            uniq.append(w)
+    got = recover_boxes(render_words(uniq))
+    assert len(got) == len(uniq)
+    exp = sorted(uniq, key=lambda w: (w["y0"], w["x0"]))
+    for a, b in zip(exp, got):
+        for k in ("x0", "y0", "x1", "y1"):
+            assert abs(a[k] - b[k]) < 1e-9
+
+
+def test_bloom_from_dataset_equals_single_build(ray_session):
+    """The distributed partial-filter build OR-merges to exactly the
+    single-pass filter over the same keys."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from pdfextraction_ray.functions.bloom import (bloom_build,
+                                                   bloom_from_dataset,
+                                                   bloom_params)
+
+    keys = np.arange(0, 9000, 2, dtype=np.int64)
+    m, k = bloom_params(len(keys), 0.01)
+    ds = rd.from_arrow(pa.table({"k": pa.array(keys, pa.int64())})) \
+        .repartition(7)
+    assert bytes(bloom_from_dataset(ds, "k", m, k)) == \
+        bytes(bloom_build(pa.array(keys, pa.int64()), m, k))
