@@ -165,6 +165,10 @@ def q_bigram_perplexity(sf_dir: str) -> pa.Table:
                                          alias_name="n_bigrams"))
 
     def finish(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:  # sort-shuffle can emit empty zero-column blocks
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "n_bigrams": pa.array([], pa.int64()),
+                             "nll": pa.array([], pa.float32())})
         s = t.column("s").to_numpy(zero_copy_only=False)
         n = t.column("n_bigrams").to_numpy(zero_copy_only=False)
         out = pa.table({"doc_id": t["doc_id"], "n_bigrams": t["n_bigrams"],

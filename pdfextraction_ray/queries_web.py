@@ -888,6 +888,10 @@ def q_customer_event_full_outer(sf_dir: str) -> pa.Table:
         _Max("acctbal", alias_name="acctbal"))
 
     def finish(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:  # sort-shuffle can emit empty zero-column blocks
+            return pa.table({"key": pa.array([], pa.int64()),
+                             "n_events": pa.array([], pa.int64()),
+                             "acctbal": pa.array([], pa.float32())})
         ab = t.column("acctbal").to_numpy(zero_copy_only=False)
         missing = ab <= _ACCTBAL_SENTINEL
         # file convention: pc.round half_towards_infinity == DuckDB ROUND
