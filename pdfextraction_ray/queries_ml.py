@@ -237,7 +237,8 @@ def _logreg_block_partial(block: pa.Table, wb, positive: int):
     return int(ids.min()), grad_w, grad_b, loss, correct, len(y)
 
 
-def q_logreg_train(sf_dir: str) -> pa.Table:
+def _logreg_fit(sf_dir: str) -> tuple[np.ndarray, float, list]:
+    """The shared training loop; returns (w, b, per-epoch rows)."""
     ds = rd.read_parquet(_p(sf_dir, "embeddings"),
                          columns=["vec_id", "embedding", "label"]) \
         .materialize()
@@ -264,11 +265,46 @@ def q_logreg_train(sf_dir: str) -> pa.Table:
         rows.append((it, loss / n, correct / n))
         w -= LOGREG_LR * gw / n
         b -= LOGREG_LR * gb / n
+    return w, b, rows
+
+
+def q_logreg_train(sf_dir: str) -> pa.Table:
+    _w, _b, rows = _logreg_fit(sf_dir)
     out = pa.table({
         "iter": pa.array([r[0] for r in rows], pa.int64()),
         "loss": pa.array([r[1] for r in rows]),
         "accuracy": pa.array([r[2] for r in rows])})
     return _roundf(out, ["loss", "accuracy"])
+
+
+def q_logreg_score(sf_dir: str) -> pa.Table:
+    """Batched model inference with broadcast weights — the canonical
+    score-the-corpus pattern: the trained model (dim+1 floats) broadcasts
+    once via ``ray.put``; the corpus streams through ONE vectorized
+    map_batches pass (matmul per batch). At 100 TB the weights are still
+    one tiny object and the pass is embarrassingly parallel. Deterministic
+    (the ordered-merge training is bit-reproducible), hence golden-pinned
+    like q_logreg_train."""
+    from .queries_curation import _emb_matrix
+
+    w, b, _rows = _logreg_fit(sf_dir)
+    wb_ref = ray.put((w, b))
+
+    def score(t: pa.Table) -> pa.Table:
+        w_, b_ = ray.get(wb_ref)
+        mat = _emb_matrix(t.column("embedding")).astype(np.float64)
+        p = 1.0 / (1.0 + np.exp(-(mat @ w_ + b_)))
+        return pa.table({
+            "vec_id": t["vec_id"],
+            "prob": pa.array(p, pa.float64()),
+            "pred": pa.array((p > 0.5).astype(np.int64), pa.int64())})
+
+    out = rd.read_parquet(_p(sf_dir, "embeddings"),
+                          columns=["vec_id", "embedding"]) \
+        .map_batches(score, batch_format="pyarrow")
+    t = pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+    t = _roundf(t, ["prob"])
+    return t.sort_by([("vec_id", "ascending")])
 
 
 # ---------------------------------------------------------------------------
@@ -278,10 +314,11 @@ def q_logreg_train(sf_dir: str) -> pa.Table:
 ML_QUERIES: dict[str, Callable[[str], Any]] = {
     "bigram_perplexity": q_bigram_perplexity,
     "logreg_train": q_logreg_train,
+    "logreg_score": q_logreg_score,
 }
 
 ML_ORACLES: dict[str, str] = {
     "bigram_perplexity": SQL_BIGRAM_PERPLEXITY,
 }
 
-ML_GOLDEN_QUERIES = ("logreg_train",)
+ML_GOLDEN_QUERIES = ("logreg_train", "logreg_score")

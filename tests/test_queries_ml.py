@@ -123,3 +123,25 @@ def test_bigram_model_never_lands_on_driver(ray_session):
         ray.put = orig
     assert not big, f"driver put model-sized state: {big}"
     assert t.num_rows == 500
+
+
+def test_logreg_score_matches_single_node_replay(ray_session):
+    """The broadcast-weights streaming inference equals a single-node numpy
+    replay of the same trained model — the batched-model-inference pattern
+    is a pure refactor of the math."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from pdfextraction_ray.queries_curation import _emb_matrix
+    from pdfextraction_ray.queries_ml import _logreg_fit, q_logreg_score
+
+    t = q_logreg_score(SF).to_pandas().set_index("vec_id")
+    w, b, _ = _logreg_fit(SF)
+    emb = pq.read_table(f"{SF}/embeddings.parquet",
+                        columns=["vec_id", "embedding"])
+    mat = _emb_matrix(emb.column("embedding")).astype(np.float64)
+    p = 1.0 / (1.0 + np.exp(-(mat @ w + b)))
+    ids = emb.column("vec_id").to_numpy()
+    assert np.allclose(t.loc[ids, "prob"].to_numpy(),
+                       np.round(p, 4).astype(np.float32), atol=1e-6)
+    assert (t.loc[ids, "pred"].to_numpy() == (p > 0.5)).all()

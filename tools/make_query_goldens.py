@@ -34,6 +34,7 @@ GOLDEN_QUERIES = [
     "kmeans_clusters",
     "approx_distinct_users",
     "logreg_train",
+    "logreg_score",
     "value_percentiles_hist",
     "video_features",
     "vision_layout_ab",
