@@ -213,6 +213,82 @@ FROM s GROUP BY split ORDER BY split
 
 
 # ---------------------------------------------------------------------------
+# incremental crawl-diff dedup: keep only NEW-crawl docs whose content was
+# never seen in the PREVIOUS crawl (doc_id % 3 == 0 stands in for the old
+# corpus) — the don't-reprocess-what-you-already-have shape every
+# recurring-crawl pipeline runs. Anti-join twist on the bloom pattern:
+# bloom-NEGATIVE rows are DEFINITELY unseen and pass with zero further
+# work (the overwhelming majority of a fresh crawl); bloom-POSITIVE rows
+# (~old-overlap + fp_rate noise) get an exact verify against the old
+# corpus's hash dataset bucketed via BucketedBuildSide.from_dataset, so a
+# false positive can never wrongly DROP a new document. Content equality
+# is md5 on BOTH engines — zero hash-vs-string divergence.
+# ---------------------------------------------------------------------------
+
+DIFF_OLD_MOD = 3
+
+
+def q_incremental_dedup(sf_dir: str) -> pa.Table:
+    from .functions.dedup import md5_hex_batch
+    from .functions.joins import BucketedBuildSide, _bucket_of, _cached_bucket
+
+    path = _p(sf_dir, "documents")
+
+    def old_hashes(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        sub = t.filter(pa.array(ids % DIFF_OLD_MOD == 0))
+        return pa.table(
+            {"h": md5_hex_batch(sub, out_col="h").column("h")})
+
+    old = rd.read_parquet(path, columns=["doc_id", "text"]) \
+        .map_batches(old_hashes, batch_format="pyarrow").materialize()
+    n_old = old.count()
+    m_bits, k = bloom_params(max(1, n_old), BLOOM_FP_RATE)
+    bits_ref = ray.put(bloom_from_dataset(old, "h", m_bits, k))
+    n_buckets = max(8, n_old // 250_000 + 8)
+    side = BucketedBuildSide.from_dataset(
+        old, "h", n_buckets, schema=pa.schema([("h", pa.string())]))
+    refs = side.refs
+
+    def keep_new(t: pa.Table) -> pa.Table:
+        bits = ray.get(bits_ref)
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        t = t.filter(pa.array(ids % DIFF_OLD_MOD != 0))
+        h = md5_hex_batch(t, out_col="__h").column("__h").combine_chunks()
+        maybe = bloom_contains(bits, h, m_bits, k)
+        seen = np.zeros(len(t), dtype=bool)
+        if maybe.any():  # exact verify ONLY the bloom-positive survivors
+            cand_idx = np.flatnonzero(maybe)
+            ch = h.take(pa.array(cand_idx))
+            buckets = _bucket_of(ch, n_buckets)
+            hit = np.zeros(len(cand_idx), dtype=bool)
+            for b in np.unique(buckets):
+                mask = buckets == b
+                tbl = _cached_bucket(refs[int(b)])
+                idx = pc.index_in(ch.filter(pa.array(mask)),
+                                  value_set=tbl.column("h"))
+                hit[mask] = pc.is_valid(idx).to_numpy(zero_copy_only=False)
+            seen[cand_idx] = hit
+        out = t.filter(pa.array(~seen))
+        return pa.table({"doc_id": out["doc_id"],
+                         "n_chars": out["n_chars"]})
+
+    out = rd.read_parquet(path, columns=["doc_id", "text", "n_chars"]) \
+        .map_batches(keep_new, batch_format="pyarrow")
+    t = pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+    return t.sort_by([("doc_id", "ascending")])
+
+
+SQL_INCREMENTAL_DEDUP = f"""
+SELECT doc_id, n_chars FROM documents
+WHERE doc_id % {DIFF_OLD_MOD} <> 0
+  AND md5(text) NOT IN (SELECT md5(text) FROM documents
+                        WHERE doc_id % {DIFF_OLD_MOD} = 0)
+ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # bucketed STORAGE join: both sides are written bucket-partitioned by the
 # shared key hash (sources/bucketed.py), then the join reads matching
 # bucket pairs with NO shuffle — the exchange was paid once at write time
@@ -294,6 +370,7 @@ SCL_QUERIES: dict[str, Callable[[str], Any]] = {
     "domain_quota_sample": q_domain_quota_sample,
     "split_assignment": q_split_assignment,
     "bucketed_storage_join": q_bucketed_storage_join,
+    "incremental_dedup": q_incremental_dedup,
 }
 
 SCL_ORACLES: dict[str, str] = {
@@ -301,4 +378,5 @@ SCL_ORACLES: dict[str, str] = {
     "domain_quota_sample": SQL_DOMAIN_QUOTA_SAMPLE,
     "split_assignment": SQL_SPLIT_ASSIGNMENT,
     "bucketed_storage_join": SQL_BUCKETED_STORAGE_JOIN,
+    "incremental_dedup": SQL_INCREMENTAL_DEDUP,
 }

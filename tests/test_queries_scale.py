@@ -231,3 +231,22 @@ def test_bucketed_join_left_outer_and_guards(ray_session, tmp_path):
         bad = rd.from_arrow(pa.table({"k": pa.array([1], pa.int64()),
                                       "bucket": pa.array([0], pa.int64())}))
         write_bucketed(bad, str(tmp_path / "bad"), "k", 2)
+
+
+def test_incremental_dedup_anti_join_semantics(ray_session):
+    """Survivors are exactly the new-crawl docs whose text the old corpus
+    never contained (bloom false positives removed by the exact verify;
+    negatives pass untouched)."""
+    import pandas as pd
+
+    from pdfextraction_ray.queries_scale import (DIFF_OLD_MOD,
+                                                 q_incremental_dedup)
+
+    t = q_incremental_dedup(SF).to_pandas()
+    docs = pq.read_table(f"{SF}/documents.parquet",
+                         columns=["doc_id", "text", "n_chars"]).to_pandas()
+    old_texts = set(docs.loc[docs.doc_id % DIFF_OLD_MOD == 0, "text"])
+    new = docs[docs.doc_id % DIFF_OLD_MOD != 0]
+    expect = new[~new.text.isin(old_texts)]
+    assert list(t.doc_id) == list(expect.doc_id)
+    assert list(t.n_chars) == list(expect.n_chars)
