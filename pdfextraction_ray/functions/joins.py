@@ -198,6 +198,28 @@ def _probe_batch(batch: pa.Table, refs: list, probe_key: str, build_key: str,
     return pa.concat_tables(pieces)
 
 
+def probe_membership(keys: "pa.Array | pa.ChunkedArray", refs: list,
+                     build_key: str, n_buckets: int) -> np.ndarray:
+    """Exact membership of ``keys`` in a bucketed build side (the
+    semi/anti-join primitive): bucket the keys, fetch only the buckets they
+    hash to (per-worker cached), ``index_in`` within each. Shared by the
+    bloom-verify paths (dup-gram spans, incremental dedup) so the probe
+    loop exists once."""
+    member = np.zeros(len(keys), dtype=bool)
+    if len(keys) == 0:
+        return member
+    if isinstance(keys, pa.ChunkedArray):
+        keys = keys.combine_chunks()
+    buckets = _bucket_of(keys, n_buckets)
+    for b in np.unique(buckets):
+        mask = buckets == b
+        tbl = _cached_bucket(refs[int(b)])
+        idx = pc.index_in(keys.filter(pa.array(mask)),
+                          value_set=tbl.column(build_key))
+        member[mask] = pc.is_valid(idx).to_numpy(zero_copy_only=False)
+    return member
+
+
 def bucketed_join(probe_ds, build_table, *, probe_key: str,
                   build_key: str, value_cols: Optional[Sequence[str]] = None,
                   n_buckets: int = 64, join_type: str = "left") -> "ray.data.Dataset":

@@ -22,7 +22,8 @@ import ray
 import ray.data as rd
 from ray.data.aggregate import Sum
 
-from .queries_curation import _flatten_tokens, _roundf, _splitmix64
+from .queries_curation import (_flatten_tokens, _roundf, _splitmix64,
+                               guard_empty)
 
 
 def _p(sf_dir: str, table: str) -> str:
@@ -350,11 +351,10 @@ def q_user_event_set_ops(sf_dir: str) -> pa.Table:
         .groupby("user_id").aggregate(Max("has_a", alias_name="has_a"),
                                       Max("has_b", alias_name="has_b"))
 
+    @guard_empty(pa.schema([("n_intersect", pa.int64()),
+                            ("n_a_except_b", pa.int64()),
+                            ("n_union", pa.int64())]))
     def counts(t: pa.Table) -> pa.Table:
-        if t.num_rows == 0:  # sort-shuffle can emit empty zero-column blocks
-            z = pa.array([0], pa.int64())
-            return pa.table({"n_intersect": z, "n_a_except_b": z,
-                             "n_union": z})
         a = t.column("has_a").to_numpy(zero_copy_only=False) > 0
         b = t.column("has_b").to_numpy(zero_copy_only=False) > 0
         return pa.table({

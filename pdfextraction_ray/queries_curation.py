@@ -28,6 +28,24 @@ def _p(sf_dir: str, table: str) -> str:
     return os.path.join(sf_dir, f"{table}.parquet")
 
 
+def guard_empty(empty_schema: pa.Schema):
+    """Decorator for map_batches functions consuming groupby/aggregate
+    output: Ray's sort shuffle can emit empty ZERO-COLUMN blocks at some
+    layouts, which would KeyError any column access — wrapped functions
+    return ``empty_schema.empty_table()`` for those instead. One idiom for
+    the whole class (was five hand-written guards)."""
+    def deco(fn):
+        import functools
+
+        @functools.wraps(fn)
+        def wrapped(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0:
+                return empty_schema.empty_table()
+            return fn(t)
+        return wrapped
+    return deco
+
+
 def _roundf(table: pa.Table, cols: list[str], ndigits: int = 4) -> pa.Table:
     """Same contract as queries._round4 (local copy — queries.py imports this
     module, so importing back would cycle): round half-away-from-zero, then

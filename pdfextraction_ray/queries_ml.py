@@ -22,7 +22,7 @@ import ray.data as rd
 from ray.data.aggregate import Sum
 
 from .functions.joins import bucketed_join
-from .queries_curation import _flatten_tokens, _roundf
+from .queries_curation import _flatten_tokens, _roundf, guard_empty
 
 
 def _p(sf_dir: str, table: str) -> str:
@@ -42,9 +42,10 @@ def _p(sf_dir: str, table: str) -> str:
 # (VERDICT r3 #4):
 #   1. model fit — per-batch (w1,w2,c) partial counts (pandas groupby
 #      inside the batch) -> one bigram-vocabulary-sized groupby, pruned
-#      inside the dataset (filter c >= min_count); unigram context counts
-#      are their own per-batch-partial groupby; V from a distinct-token
-#      aggregate. All three stay Datasets.
+#      inside the dataset (filter c >= min_count); unigram context totals
+#      derive from the UNpruned bigram aggregate (c(w1,*) = sum_w2, no
+#      extra corpus pass); V from a distinct-token aggregate. All three
+#      stay Datasets.
 #   2. scoring — docs re-stream, explode to (doc_id, w1, w2) pairs, and
 #      the model attaches via the BUCKETED map-side join whose build side
 #      is partitioned straight from the model dataset's blocks
@@ -109,10 +110,8 @@ def q_bigram_perplexity(sf_dir: str) -> pa.Table:
     # unigram context totals derive from the UNpruned bigram aggregate —
     # c(w1,*) = sum_w2 c(w1,w2) exactly, and the bigram table is orders of
     # magnitude smaller than the corpus (saves a full corpus pass)
+    @guard_empty(pa.schema([("w1", pa.string()), ("c1", pa.int64())]))
     def uni_partial(t: pa.Table) -> pa.Table:
-        if t.num_rows == 0:  # sort-shuffle can emit empty zero-column blocks
-            return pa.table({"w1": pa.array([], pa.string()),
-                             "c1": pa.array([], pa.int64())})
         g = t.select(["w1", "c"]).group_by("w1").aggregate([("c", "sum")])
         g = g.select(["w1", "c_sum"])
         return g.rename_columns(["w1", "c1"])
@@ -164,11 +163,10 @@ def q_bigram_perplexity(sf_dir: str) -> pa.Table:
                                      Sum("n_bigrams",
                                          alias_name="n_bigrams"))
 
+    @guard_empty(pa.schema([("doc_id", pa.int64()),
+                            ("n_bigrams", pa.int64()),
+                            ("nll", pa.float32())]))
     def finish(t: pa.Table) -> pa.Table:
-        if t.num_rows == 0:  # sort-shuffle can emit empty zero-column blocks
-            return pa.table({"doc_id": pa.array([], pa.int64()),
-                             "n_bigrams": pa.array([], pa.int64()),
-                             "nll": pa.array([], pa.float32())})
         s = t.column("s").to_numpy(zero_copy_only=False)
         n = t.column("n_bigrams").to_numpy(zero_copy_only=False)
         out = pa.table({"doc_id": t["doc_id"], "n_bigrams": t["n_bigrams"],
@@ -237,8 +235,10 @@ def _logreg_block_partial(block: pa.Table, wb, positive: int):
     return int(ids.min()), grad_w, grad_b, loss, correct, len(y)
 
 
-def _logreg_fit(sf_dir: str) -> tuple[np.ndarray, float, list]:
-    """The shared training loop; returns (w, b, per-epoch rows)."""
+def _logreg_fit(sf_dir: str) -> tuple[np.ndarray, float, list, Any]:
+    """The shared training loop; returns (w, b, per-epoch rows, the
+    materialized embeddings dataset — so a scoring pass can reuse it
+    instead of re-reading the widest table)."""
     ds = rd.read_parquet(_p(sf_dir, "embeddings"),
                          columns=["vec_id", "embedding", "label"]) \
         .materialize()
@@ -265,11 +265,11 @@ def _logreg_fit(sf_dir: str) -> tuple[np.ndarray, float, list]:
         rows.append((it, loss / n, correct / n))
         w -= LOGREG_LR * gw / n
         b -= LOGREG_LR * gb / n
-    return w, b, rows
+    return w, b, rows, ds
 
 
 def q_logreg_train(sf_dir: str) -> pa.Table:
-    _w, _b, rows = _logreg_fit(sf_dir)
+    _w, _b, rows, _ds = _logreg_fit(sf_dir)
     out = pa.table({
         "iter": pa.array([r[0] for r in rows], pa.int64()),
         "loss": pa.array([r[1] for r in rows]),
@@ -287,7 +287,7 @@ def q_logreg_score(sf_dir: str) -> pa.Table:
     like q_logreg_train."""
     from .queries_curation import _emb_matrix
 
-    w, b, _rows = _logreg_fit(sf_dir)
+    w, b, _rows, emb_ds = _logreg_fit(sf_dir)
     wb_ref = ray.put((w, b))
 
     def score(t: pa.Table) -> pa.Table:
@@ -299,9 +299,7 @@ def q_logreg_score(sf_dir: str) -> pa.Table:
             "prob": pa.array(p, pa.float64()),
             "pred": pa.array((p > 0.5).astype(np.int64), pa.int64())})
 
-    out = rd.read_parquet(_p(sf_dir, "embeddings"),
-                          columns=["vec_id", "embedding"]) \
-        .map_batches(score, batch_format="pyarrow")
+    out = emb_ds.map_batches(score, batch_format="pyarrow")
     t = pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
     t = _roundf(t, ["prob"])
     return t.sort_by([("vec_id", "ascending")])

@@ -230,7 +230,7 @@ DIFF_OLD_MOD = 3
 
 def q_incremental_dedup(sf_dir: str) -> pa.Table:
     from .functions.dedup import md5_hex_batch
-    from .functions.joins import BucketedBuildSide, _bucket_of, _cached_bucket
+    from .functions.joins import BucketedBuildSide, probe_membership
 
     path = _p(sf_dir, "documents")
 
@@ -259,16 +259,8 @@ def q_incremental_dedup(sf_dir: str) -> pa.Table:
         seen = np.zeros(len(t), dtype=bool)
         if maybe.any():  # exact verify ONLY the bloom-positive survivors
             cand_idx = np.flatnonzero(maybe)
-            ch = h.take(pa.array(cand_idx))
-            buckets = _bucket_of(ch, n_buckets)
-            hit = np.zeros(len(cand_idx), dtype=bool)
-            for b in np.unique(buckets):
-                mask = buckets == b
-                tbl = _cached_bucket(refs[int(b)])
-                idx = pc.index_in(ch.filter(pa.array(mask)),
-                                  value_set=tbl.column("h"))
-                hit[mask] = pc.is_valid(idx).to_numpy(zero_copy_only=False)
-            seen[cand_idx] = hit
+            seen[cand_idx] = probe_membership(h.take(pa.array(cand_idx)),
+                                              refs, "h", n_buckets)
         out = t.filter(pa.array(~seen))
         return pa.table({"doc_id": out["doc_id"],
                          "n_chars": out["n_chars"]})
@@ -282,8 +274,12 @@ def q_incremental_dedup(sf_dir: str) -> pa.Table:
 SQL_INCREMENTAL_DEDUP = f"""
 SELECT doc_id, n_chars FROM documents
 WHERE doc_id % {DIFF_OLD_MOD} <> 0
-  AND md5(text) NOT IN (SELECT md5(text) FROM documents
-                        WHERE doc_id % {DIFF_OLD_MOD} = 0)
+  -- coalesce mirrors md5_hex_batch's null-text-hashes-as-'' rule: a NULL
+  -- text must not poison NOT IN (md5(NULL)=NULL drops every row) nor
+  -- diverge from the engine's hash
+  AND md5(coalesce(text, '')) NOT IN (
+        SELECT md5(coalesce(text, '')) FROM documents
+        WHERE doc_id % {DIFF_OLD_MOD} = 0)
 ORDER BY doc_id
 """
 

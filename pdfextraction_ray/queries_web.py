@@ -29,6 +29,8 @@ import ray
 import ray.data as rd
 from ray.data.aggregate import Min, Sum
 
+from .queries_curation import guard_empty
+
 
 def _p(sf_dir: str, table: str) -> str:
     return os.path.join(sf_dir, f"{table}.parquet")
@@ -248,8 +250,7 @@ def q_dup_ngram_spans(sf_dir: str,
 
     from .functions.bloom import (bloom_contains, bloom_from_dataset,
                                   bloom_params)
-    from .functions.joins import (BucketedBuildSide, _bucket_of,
-                                  _cached_bucket)
+    from .functions.joins import BucketedBuildSide, probe_membership
 
     partials = rd.read_parquet(path, columns=["doc_id", "text"]) \
         .map_batches(gram_doc_partial, batch_format="pyarrow")
@@ -279,17 +280,8 @@ def q_dup_ngram_spans(sf_dir: str,
             member = np.zeros(len(hs), dtype=bool)
             cand = bloom_contains(bits, pa.array(hs, pa.int64()), m_bits, k)
             if cand.any():  # exact verify of the fp-rate survivors only
-                ck = hs[cand]
-                buckets = _bucket_of(pa.array(ck, pa.int64()), n_buckets)
-                ver = np.zeros(len(ck), dtype=bool)
-                for b in np.unique(buckets):
-                    mask = buckets == b
-                    tbl = _cached_bucket(refs[int(b)])
-                    idx = pc.index_in(pa.array(ck[mask], pa.int64()),
-                                      value_set=tbl.column("gram"))
-                    ver[mask] = pc.is_valid(idx).to_numpy(
-                        zero_copy_only=False)
-                member[np.flatnonzero(cand)] = ver
+                member[np.flatnonzero(cand)] = probe_membership(
+                    pa.array(hs[cand], pa.int64()), refs, "gram", n_buckets)
             return member
 
     def count_dup(t: pa.Table) -> pa.Table:
@@ -393,10 +385,8 @@ def q_pagerank(sf_dir: str) -> pa.Table:
     rank_ds = None          # iteration-0 sentinel: uniform 1/n everywhere
     default_r = 1.0 / n
 
+    @guard_empty(pa.schema([("doc_id", pa.int64()), ("r", pa.float64())]))
     def next_rank(t: pa.Table) -> pa.Table:
-        if t.num_rows == 0:  # sort-shuffle can emit empty zero-column blocks
-            return pa.table({"doc_id": pa.array([], pa.int64()),
-                             "r": pa.array([], pa.float64())})
         r = pc.add(pa.scalar(base),
                    pc.multiply(pa.scalar(PAGERANK_D), t["m"]))
         return pa.table({"doc_id": t["dst"], "r": r})
@@ -887,11 +877,9 @@ def q_customer_event_full_outer(sf_dir: str) -> pa.Table:
         Sum("n_events", alias_name="n_events"),
         _Max("acctbal", alias_name="acctbal"))
 
+    @guard_empty(pa.schema([("key", pa.int64()), ("n_events", pa.int64()),
+                            ("acctbal", pa.float32())]))
     def finish(t: pa.Table) -> pa.Table:
-        if t.num_rows == 0:  # sort-shuffle can emit empty zero-column blocks
-            return pa.table({"key": pa.array([], pa.int64()),
-                             "n_events": pa.array([], pa.int64()),
-                             "acctbal": pa.array([], pa.float32())})
         ab = t.column("acctbal").to_numpy(zero_copy_only=False)
         missing = ab <= _ACCTBAL_SENTINEL
         # file convention: pc.round half_towards_infinity == DuckDB ROUND

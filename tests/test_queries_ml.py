@@ -136,7 +136,7 @@ def test_logreg_score_matches_single_node_replay(ray_session):
     from pdfextraction_ray.queries_ml import _logreg_fit, q_logreg_score
 
     t = q_logreg_score(SF).to_pandas().set_index("vec_id")
-    w, b, _ = _logreg_fit(SF)
+    w, b, _, _ds = _logreg_fit(SF)
     emb = pq.read_table(f"{SF}/embeddings.parquet",
                         columns=["vec_id", "embedding"])
     mat = _emb_matrix(emb.column("embedding")).astype(np.float64)
