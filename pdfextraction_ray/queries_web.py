@@ -234,9 +234,13 @@ def _ranges(counts: np.ndarray) -> np.ndarray:
 DUP_GRAM_BROADCAST_MAX = 5_000_000  # ~40 MB sorted u64 — broadcast budget
 
 
-def q_dup_ngram_spans(sf_dir: str,
-                      broadcast_max: int = DUP_GRAM_BROADCAST_MAX) -> pa.Table:
-    path = _p(sf_dir, "documents")
+def _dup_gram_membership(path: str, broadcast_max: int):
+    """Pass-1 of the duplicated-window family, shared by
+    ``q_dup_ngram_spans`` and ``q_exact_substring_spans``: window-hash the
+    corpus, keep grams seen in >= 2 distinct docs, and return a
+    ``membership(hs) -> bool[]`` closure using the size-gated strategy
+    (sorted-u64 broadcast below ``broadcast_max`` dup grams; distributed
+    bloom prune + bucketed exact verify above)."""
 
     def gram_doc_partial(t: pa.Table) -> pa.Table:
         h, n_win = _window_hashes(t.column("text"))
@@ -284,6 +288,14 @@ def q_dup_ngram_spans(sf_dir: str,
                     pa.array(hs[cand], pa.int64()), refs, "gram", n_buckets)
             return member
 
+    return membership
+
+
+def q_dup_ngram_spans(sf_dir: str,
+                      broadcast_max: int = DUP_GRAM_BROADCAST_MAX) -> pa.Table:
+    path = _p(sf_dir, "documents")
+    membership = _dup_gram_membership(path, broadcast_max)
+
     def count_dup(t: pa.Table) -> pa.Table:
         h, n_win = _window_hashes(t.column("text"))
         hs = h.view(np.int64)
@@ -315,6 +327,101 @@ WITH toks AS (
 SELECT doc_id, count(*) AS n_windows,
        count(*) FILTER (WHERE g IN (SELECT g FROM dup)) AS n_dup
 FROM grams GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# exact-substring duplicated SPANS (the suffix-array half of Lee et al.
+# "Deduplicating Training Data Makes Language Models Better"): where
+# q_dup_ngram_spans counts duplicated fixed windows, this query merges
+# overlapping/adjacent duplicated windows into MAXIMAL spans per document —
+# the same per-doc output a suffix-array pass produces for repeats of
+# length >= NGRAM_W, computed without any global suffix sort: because every
+# duplicated substring of length >= w is exactly a run of duplicated
+# w-token windows at consecutive starts, maximal repeats fall out of a
+# vectorized gaps-and-islands merge over the (already sorted) window
+# stream. Pass 1 is shared with q_dup_ngram_spans via
+# _dup_gram_membership (same size-gated broadcast/bloom regimes, same
+# hash-vs-string collision note); the merge itself closes inside each
+# batch (a doc's windows never split across batches), so no extra shuffle.
+# Per doc (with >= 1 window): number of maximal duplicated spans, total
+# tokens covered by them, and the longest span's token length — the three
+# numbers a dedup policy cuts on (e.g. drop docs with dup_tokens/n_tokens
+# above a threshold, or excise spans longer than k tokens).
+# ---------------------------------------------------------------------------
+
+
+def q_exact_substring_spans(sf_dir: str,
+                            broadcast_max: int = DUP_GRAM_BROADCAST_MAX
+                            ) -> pa.Table:
+    path = _p(sf_dir, "documents")
+    membership = _dup_gram_membership(path, broadcast_max)
+
+    def merge_spans(t: pa.Table) -> pa.Table:
+        h, n_win = _window_hashes(t.column("text"))
+        hs = h.view(np.int64)
+        member = membership(hs) if len(hs) else np.zeros(0, dtype=bool)
+        doc_of = np.repeat(np.arange(len(t)), n_win)
+        win_idx = _ranges(n_win)
+        d, i = doc_of[member], win_idx[member]
+        # windows arrive sorted by (doc, start); a new island opens on a
+        # doc change or a start-gap > w (window at i covers [i, i+w-1], so
+        # starts <= w apart produce contiguous token coverage)
+        new_isl = np.ones(len(d), dtype=bool)
+        if len(d) > 1:
+            new_isl[1:] = (d[1:] != d[:-1]) | (i[1:] - i[:-1] > NGRAM_W)
+        starts = np.flatnonzero(new_isl)
+        ends = np.append(starts[1:] - 1, len(d) - 1) if len(d) else starts
+        cover = i[ends] - i[starts] + NGRAM_W  # tokens covered per island
+        isl_doc = d[starts]
+        n_spans = np.bincount(isl_doc, minlength=len(t)).astype(np.int64)
+        dup_tokens = np.bincount(isl_doc, weights=cover,
+                                 minlength=len(t)).astype(np.int64)
+        longest = np.zeros(len(t), dtype=np.int64)
+        if len(isl_doc):
+            np.maximum.at(longest, isl_doc, cover)
+        keep = n_win > 0
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        return pa.Table.from_pydict({
+            "doc_id": pa.array(ids[keep], pa.int64()),
+            "n_spans": pa.array(n_spans[keep]),
+            "dup_tokens": pa.array(dup_tokens[keep]),
+            "longest_span": pa.array(longest[keep])})
+
+    out = rd.read_parquet(path, columns=["doc_id", "text"]) \
+        .map_batches(merge_spans, batch_format="pyarrow")
+    t = pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+    return t.sort_by([("doc_id", "ascending")])
+
+
+SQL_EXACT_SUBSTRING_SPANS = """
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+ grams AS (
+  SELECT doc_id, i, array_to_string(tk[i:i+7], ' ') AS g
+  FROM toks, UNNEST(range(1, len(tk) - 6)) AS t(i)
+  WHERE len(tk) >= 8),
+ dup AS (
+  SELECT g FROM grams GROUP BY g HAVING count(DISTINCT doc_id) >= 2),
+ dw AS (SELECT doc_id, i FROM grams WHERE g IN (SELECT g FROM dup)),
+ brk AS (SELECT doc_id, i,
+         CASE WHEN i - lag(i) OVER (PARTITION BY doc_id ORDER BY i) <= 8
+              THEN 0 ELSE 1 END AS b FROM dw),
+ isl AS (SELECT doc_id, i,
+         sum(b) OVER (PARTITION BY doc_id ORDER BY i
+                      ROWS UNBOUNDED PRECEDING) AS gid FROM brk),
+ spans AS (SELECT doc_id, gid, max(i) - min(i) + 8 AS cover
+           FROM isl GROUP BY doc_id, gid),
+ per_doc AS (SELECT doc_id, count(*) AS n_spans,
+             CAST(sum(cover) AS BIGINT) AS dup_tokens,
+             CAST(max(cover) AS BIGINT) AS longest_span
+             FROM spans GROUP BY doc_id)
+SELECT g.doc_id, coalesce(n_spans, 0) AS n_spans,
+       coalesce(dup_tokens, 0) AS dup_tokens,
+       coalesce(longest_span, 0) AS longest_span
+FROM (SELECT DISTINCT doc_id FROM grams) g
+LEFT JOIN per_doc USING (doc_id)
+ORDER BY g.doc_id
 """
 
 
@@ -1432,6 +1539,7 @@ WEB_QUERIES: dict[str, Callable[[str], Any]] = {
     "value_change_counts": q_value_change_counts,
     "weighted_sample": q_weighted_sample,
     "dup_ngram_spans": q_dup_ngram_spans,
+    "exact_substring_spans": q_exact_substring_spans,
     "pagerank": q_pagerank,
     "connected_components": q_connected_components,
     "value_percentiles_hist": q_value_percentiles_hist,
@@ -1452,6 +1560,7 @@ WEB_ORACLES: dict[str, str] = {
     "value_change_counts": SQL_VALUE_CHANGE_COUNTS,
     "weighted_sample": SQL_WEIGHTED_SAMPLE,
     "dup_ngram_spans": SQL_DUP_NGRAM_SPANS,
+    "exact_substring_spans": SQL_EXACT_SUBSTRING_SPANS,
     "pagerank": SQL_PAGERANK,
     "connected_components": SQL_CONNECTED_COMPONENTS,
     "rolling_event_stats": SQL_ROLLING_EVENT_STATS,

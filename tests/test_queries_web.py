@@ -60,6 +60,60 @@ def test_dup_ngram_spans_matches_pure_python(ray_session):
         assert t.loc[doc_id, "n_dup"] == sum(w in dup for w in ws)
 
 
+def test_exact_substring_spans_matches_pure_python(ray_session):
+    """Maximal-span merge equals an independent pure-Python interval-merge
+    over exact string windows (no hashing): per doc the spans, covered
+    tokens and longest span all agree."""
+    from collections import defaultdict
+
+    from pdfextraction_ray.queries_web import (NGRAM_W,
+                                               q_exact_substring_spans)
+
+    t = q_exact_substring_spans(SF).to_pandas().set_index("doc_id")
+    docs = pq.read_table(f"{SF}/documents.parquet",
+                         columns=["doc_id", "text"]).to_pandas()
+    grams = defaultdict(set)
+    windows = {}
+    for row in docs.itertuples():
+        tk = row.text.split(" ")
+        ws = [" ".join(tk[i:i + NGRAM_W])
+              for i in range(len(tk) - NGRAM_W + 1)]
+        if ws:
+            windows[row.doc_id] = ws
+            for w in set(ws):
+                grams[w].add(row.doc_id)
+    dup = {g for g, ds in grams.items() if len(ds) >= 2}
+    assert set(t.index) == set(windows)
+    some_doc_has_spans = False
+    for doc_id, ws in windows.items():
+        starts = [i for i, w in enumerate(ws) if w in dup]
+        spans = []
+        for i in starts:  # interval merge of [i, i + W - 1] coverages
+            if spans and i - spans[-1][1] <= NGRAM_W:
+                spans[-1] = (spans[-1][0], i)
+            else:
+                spans.append((i, i))
+        covers = [b - a + NGRAM_W for a, b in spans]
+        assert t.loc[doc_id, "n_spans"] == len(spans)
+        assert t.loc[doc_id, "dup_tokens"] == sum(covers)
+        assert t.loc[doc_id, "longest_span"] == max(covers, default=0)
+        some_doc_has_spans = some_doc_has_spans or bool(spans)
+    assert some_doc_has_spans  # the fixture must exercise the merge
+
+
+def test_exact_substring_scale_path_equals_broadcast_path(ray_session):
+    """Same regime contract as dup_ngram_spans: the forced bloom +
+    bucketed-verify path returns the broadcast path's exact rows with no
+    driver-side put of the full dup-gram set."""
+    from pdfextraction_ray.queries_web import q_exact_substring_spans
+
+    small = q_exact_substring_spans(SF).to_pandas()
+    big = _no_big_driver_puts(
+        lambda: q_exact_substring_spans(SF, broadcast_max=0),
+        10_000).to_pandas()
+    assert small.equals(big)
+
+
 def test_pagerank_is_a_distribution(ray_session):
     """Ranks form a probability distribution (ppm sums to ~1e6) and a
     power-iteration replay on the same synthesized edges converges to the
