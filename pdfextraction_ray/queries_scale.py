@@ -358,6 +358,79 @@ GROUP BY c_mktsegment ORDER BY c_mktsegment
 
 
 # ---------------------------------------------------------------------------
+# FULL OUTER storage join: two per-custkey aggregates of the orders table
+# (count of 'F' orders vs count of 'O' orders) are written bucketed by the
+# same key, then joined full-outer through the storage layout — both join
+# directions are genuinely exercised (customers holding only fulfilled or
+# only open orders null-extend from opposite sides; verified nonempty at
+# every test scale). The shuffle story is the same as the inner form: the
+# exchange is paid once at write time, the join itself is one independent
+# task per bucket pair, and the outer semantics come from the typed
+# empty-side synthesis in sources/bucketed.py rather than any broadcast.
+# ---------------------------------------------------------------------------
+
+
+def q_storage_full_outer_join(sf_dir: str) -> pa.Table:
+    import shutil
+    import tempfile
+
+    from .sources.bucketed import bucketed_equi_join, write_bucketed
+    from .queries_curation import guard_empty
+
+    def status_counts(status: str, out_col: str) -> rd.Dataset:
+        schema = pa.schema([("custkey", pa.int64()), (out_col, pa.int64())])
+
+        def partial(t: pa.Table) -> pa.Table:
+            tt = t.filter(pc.equal(t["o_orderstatus"], status))
+            if tt.num_rows == 0:
+                return schema.empty_table()
+            codes, uniq = pd.factorize(
+                tt.column("o_custkey").to_numpy(zero_copy_only=False))
+            return pa.table({
+                "custkey": pa.array(uniq, pa.int64()),
+                out_col: pa.array(np.bincount(
+                    codes, minlength=len(uniq)).astype(np.int64))})
+
+        agg = rd.read_parquet(_p(sf_dir, "orders"),
+                              columns=["o_custkey", "o_orderstatus"]) \
+            .map_batches(partial, batch_format="pyarrow") \
+            .groupby("custkey").aggregate(Sum(out_col, alias_name=out_col))
+        # sort-shuffle aggregates can emit zero-column empty blocks, which
+        # write_bucketed's key tagging cannot type — normalize them first
+        return agg.map_batches(guard_empty(schema)(lambda t: t),
+                               batch_format="pyarrow")
+
+    tmp = tempfile.mkdtemp(prefix="storage_outer_")
+    try:
+        write_bucketed(status_counts("F", "n_f"), os.path.join(tmp, "f"),
+                       "custkey", BUCKETED_JOIN_BUCKETS)
+        write_bucketed(status_counts("O", "n_o"), os.path.join(tmp, "o"),
+                       "custkey", BUCKETED_JOIN_BUCKETS)
+        joined = bucketed_equi_join(os.path.join(tmp, "f"),
+                                    os.path.join(tmp, "o"),
+                                    join_type="full outer")
+        df = joined.to_pandas()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    for c in ("n_f", "n_o"):  # unmatched sides null-extend; oracle coalesces
+        df[c] = df[c].fillna(0).astype(np.int64)
+    t = pa.Table.from_pandas(df, preserve_index=False)
+    return t.select(["custkey", "n_f", "n_o"]) \
+        .sort_by([("custkey", "ascending")])
+
+
+SQL_STORAGE_FULL_OUTER_JOIN = """
+SELECT custkey, coalesce(n_f, 0) AS n_f, coalesce(n_o, 0) AS n_o
+FROM (SELECT o_custkey AS custkey, count(*) AS n_f FROM orders
+      WHERE o_orderstatus = 'F' GROUP BY o_custkey) f
+FULL JOIN (SELECT o_custkey AS custkey, count(*) AS n_o FROM orders
+      WHERE o_orderstatus = 'O' GROUP BY o_custkey) o
+USING (custkey)
+ORDER BY custkey
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry fragments merged by queries.py
 # ---------------------------------------------------------------------------
 
@@ -366,6 +439,7 @@ SCL_QUERIES: dict[str, Callable[[str], Any]] = {
     "domain_quota_sample": q_domain_quota_sample,
     "split_assignment": q_split_assignment,
     "bucketed_storage_join": q_bucketed_storage_join,
+    "storage_full_outer_join": q_storage_full_outer_join,
     "incremental_dedup": q_incremental_dedup,
 }
 
@@ -374,5 +448,6 @@ SCL_ORACLES: dict[str, str] = {
     "domain_quota_sample": SQL_DOMAIN_QUOTA_SAMPLE,
     "split_assignment": SQL_SPLIT_ASSIGNMENT,
     "bucketed_storage_join": SQL_BUCKETED_STORAGE_JOIN,
+    "storage_full_outer_join": SQL_STORAGE_FULL_OUTER_JOIN,
     "incremental_dedup": SQL_INCREMENTAL_DEDUP,
 }

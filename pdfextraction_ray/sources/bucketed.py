@@ -83,13 +83,19 @@ def bucketed_equi_join(left_dir: str, right_dir: str, *,
     The bucket is the memory unit: size n_buckets at write time so one
     bucket pair fits a worker heap (same sizing rule as
     BucketedBuildSide).
+
+    All four equi-join types are supported; outer sides that are missing a
+    bucket synthesize a typed empty table from the stored schema so
+    unmatched rows null-extend instead of disappearing. Key columns
+    coalesce per pyarrow semantics: with equal key names the output has
+    one key column populated from whichever side matched; with distinct
+    ``lkey``/``rkey`` names only the LEFT key column survives, so
+    right-only rows of a full outer join carry a null key — prefer equal
+    key names for outer joins.
     """
-    if join_type not in ("inner", "left outer"):
-        # right/full outer would need the symmetric right-only-bucket path
-        # join_bucket doesn't implement — refuse loudly rather than drop
-        # right-side rows silently
-        raise ValueError(f"join_type {join_type!r} unsupported: use 'inner' "
-                         f"or 'left outer'")
+    if join_type not in ("inner", "left outer", "right outer", "full outer"):
+        raise ValueError(f"join_type {join_type!r} unsupported: use 'inner', "
+                         f"'left outer', 'right outer' or 'full outer'")
     lm, rm = read_bucket_manifest(left_dir), read_bucket_manifest(right_dir)
     for side, m in (("left", lm), ("right", rm)):
         if m["hash"] != _HASH_NAME:
@@ -114,24 +120,32 @@ def bucketed_equi_join(left_dir: str, right_dir: str, *,
             t = t.drop_columns(["bucket"])
         return t
 
+    def _empty_side(root: str, cols) -> pa.Table:
+        t = pq.read_schema(
+            _bucket_files(root, _any_bucket(root))[0]).empty_table()
+        if "bucket" in t.column_names:
+            t = t.drop_columns(["bucket"])
+        return t.select(list(cols)) if cols else t
+
+    # which empty side kills the bucket vs null-extends the other side
+    keeps_left = join_type in ("left outer", "full outer")
+    keeps_right = join_type in ("right outer", "full outer")
+
     def join_bucket(t: pa.Table) -> pa.Table:
         out = []
         for b in t.column("b").to_pylist():
             lf, rf = _bucket_files(left_dir, b), _bucket_files(right_dir, b)
             left = _read(lf, left_cols)
             right = _read(rf, right_cols)
-            if left is None or left.num_rows == 0:
+            l_empty = left is None or left.num_rows == 0
+            r_empty = right is None or right.num_rows == 0
+            if (l_empty and not keeps_right) or (r_empty and not keeps_left) \
+                    or (l_empty and r_empty):
                 continue
-            if right is None or right.num_rows == 0:
-                if join_type == "inner":
-                    continue
-                right = pq.read_schema(
-                    _bucket_files(right_dir, _any_bucket(right_dir))[0]
-                ).empty_table()
-                if "bucket" in right.column_names:
-                    right = right.drop_columns(["bucket"])
-                if right_cols:
-                    right = right.select(list(right_cols))
+            if l_empty:
+                left = _empty_side(left_dir, left_cols)
+            if r_empty:
+                right = _empty_side(right_dir, right_cols)
             out.append(left.join(right, keys=lkey, right_keys=rkey,
                                  join_type=join_type))
         if not out:

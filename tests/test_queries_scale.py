@@ -202,31 +202,42 @@ def test_bucketed_layout_is_key_complete(ray_session, tmp_path):
             assert seen.setdefault(k, b) == b  # one bucket per key
 
 
-def test_bucketed_join_left_outer_and_guards(ray_session, tmp_path):
-    """left-outer support, reserved-column guard, and unsupported-type
-    refusal (right/full outer would silently drop right-only buckets)."""
+def test_bucketed_join_outer_types_and_guards(ray_session, tmp_path):
+    """All four equi-join types against a pandas merge oracle (including
+    right-only and left-only buckets that one side misses entirely),
+    reserved-column guard, and unknown-type refusal."""
     import pytest
+    import pandas as pd
     import pyarrow as pa
     import ray.data as rd
 
     from pdfextraction_ray.sources.bucketed import (bucketed_equi_join,
                                                     write_bucketed)
 
-    left = rd.from_arrow(pa.table({
-        "k": pa.array([1, 2, 3, 99], pa.int64()),
-        "lv": pa.array([10, 20, 30, 990], pa.int64())}))
-    right = rd.from_arrow(pa.table({
-        "k": pa.array([1, 3], pa.int64()),
-        "rv": pa.array([100, 300], pa.int64())}))
+    # keys chosen so some buckets are left-only / right-only at n_buckets=4
+    lpdf = pd.DataFrame({"k": [1, 2, 3, 99], "lv": [10, 20, 30, 990]})
+    rpdf = pd.DataFrame({"k": [1, 3, 42, 7], "rv": [100, 300, 420, 70]})
+    left = rd.from_arrow(pa.Table.from_pandas(lpdf))
+    right = rd.from_arrow(pa.Table.from_pandas(rpdf))
     ld = write_bucketed(left, str(tmp_path / "l"), "k", 4)
     rdir = write_bucketed(right, str(tmp_path / "r"), "k", 4)
-    out = bucketed_equi_join(ld, rdir, join_type="left outer") \
-        .to_pandas().sort_values("k").reset_index(drop=True)
-    assert list(out.k) == [1, 2, 3, 99]
-    assert out.rv.isna().sum() == 2  # unmatched left rows survive with nulls
+
+    for jt, how in (("inner", "inner"), ("left outer", "left"),
+                    ("right outer", "right"), ("full outer", "outer")):
+        ours = bucketed_equi_join(ld, rdir, join_type=jt).to_pandas()
+        ours = ours[sorted(ours.columns)] \
+            .sort_values(sorted(ours.columns)).reset_index(drop=True)
+        oracle = lpdf.merge(rpdf, on="k", how=how)
+        oracle = oracle[sorted(oracle.columns)] \
+            .sort_values(sorted(oracle.columns)).reset_index(drop=True)
+        assert len(ours) == len(oracle), jt
+        for c in oracle.columns:
+            a = ours[c].fillna(-1).astype(int).tolist()
+            b = oracle[c].fillna(-1).astype(int).tolist()
+            assert a == b, (jt, c)
 
     with pytest.raises(ValueError, match="unsupported"):
-        bucketed_equi_join(ld, rdir, join_type="full outer")
+        bucketed_equi_join(ld, rdir, join_type="cross")
     with pytest.raises(Exception, match="reserved partition column"):
         bad = rd.from_arrow(pa.table({"k": pa.array([1], pa.int64()),
                                       "bucket": pa.array([0], pa.int64())}))
