@@ -134,6 +134,24 @@ def recover_boxes(img: np.ndarray, *, scale: float = RENDER_SCALE,
     return boxes
 
 
+def region_grid_shapes(words: list[dict[str, Any]],
+                       regions: list[dict[str, Any]]) -> str:
+    """Table GRID shapes per detected region, serialized "RxC;RxC;..." in
+    region order: R = row groups within the region (same y-tolerance the
+    table extractor uses), C = the widest row's word count. Comparing the
+    word-path and pixel-path strings checks that rasterization preserved
+    not just how many table regions exist but their row/column structure —
+    a much stronger A/B than region counts alone."""
+    from .. import table_extract as T
+    shapes = []
+    for reg in regions:
+        rw = T.filter_words_to_region(words, reg)
+        rows = T.group_words_into_rows(rw)
+        ncols = max((len(r["words"]) for r in rows), default=0)
+        shapes.append(f"{len(rows)}x{ncols}")
+    return ";".join(shapes)
+
+
 OUT_SCHEMA = pa.schema([
     ("url", pa.string()),
     ("page_png_bytes", pa.int64()),
@@ -143,7 +161,10 @@ OUT_SCHEMA = pa.schema([
     ("vision_n_lines", pa.int64()),
     ("n_regions", pa.int64()),
     ("vision_n_regions", pa.int64()),
+    ("grid_shapes", pa.string()),
+    ("vision_grid_shapes", pa.string()),
     ("layout_agree", pa.bool_()),
+    ("grid_agree", pa.bool_()),
 ])
 
 
@@ -176,6 +197,8 @@ class VisionLayoutStage:
             vlines = G.group_words_into_lines(vwords)
             regions = G.identify_table_regions(words, lines)
             vregions = G.identify_table_regions(vwords, vlines)
+            grid = region_grid_shapes(words, regions)
+            vgrid = region_grid_shapes(vwords, vregions)
             out["url"].append(urls[i].as_py())
             out["page_png_bytes"].append(len(png))
             out["n_words"].append(len(words))
@@ -184,9 +207,12 @@ class VisionLayoutStage:
             out["vision_n_lines"].append(len(vlines))
             out["n_regions"].append(len(regions))
             out["vision_n_regions"].append(len(vregions))
+            out["grid_shapes"].append(grid)
+            out["vision_grid_shapes"].append(vgrid)
             out["layout_agree"].append(
                 len(words) == len(vwords) and len(lines) == len(vlines)
                 and len(regions) == len(vregions))
+            out["grid_agree"].append(grid == vgrid)
         arrays = [pa.array(out[n], OUT_SCHEMA.field(n).type)
                   for n in OUT_SCHEMA.names]
         return pa.Table.from_arrays(arrays, schema=OUT_SCHEMA)
