@@ -649,6 +649,12 @@ def q_connected_components(sf_dir: str) -> pa.Table:
         chg = pc.cast(pc.less(l_new, l_old), pa.int64())
         return pa.table({"node": t["node"], "l": l_new, "chg": chg})
 
+    # NEGATIVE RESULT (round 4, keep the two-join form): fusing the merge
+    # into the offer groupby — offers carry old=+inf, every node adds a
+    # self row with old=l, one groupby recovers min(l) and min(old) — was
+    # A/B'd at sf0.1 (fresh sessions, 3 reps): union 9.7-10.8 s vs join
+    # 7.4-8.0 s. The fused groupby sort-shuffles the full n-sized label
+    # set every round; the map-side bucketed join it replaced is cheaper.
     for _ in range(CC_ROUNDS):
         # build side narrowed to (node, l): from round 2 label_ds also
         # carries chg, which must not ship in every bucket
