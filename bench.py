@@ -55,8 +55,9 @@ BENCH_FAMILIES: dict[str, list[str]] = {
     "training_scale": ["doc_chunks", "sequence_packing", "split_assignment",
                        "domain_quota_sample", "orders_bloom_semi_join",
                        "brand_revenue_bucketed", "bucketed_storage_join",
-                       "incremental_dedup"],
-    "graph_lm": ["bigram_perplexity", "dup_ngram_spans", "pagerank",
+                       "storage_full_outer_join", "incremental_dedup"],
+    "graph_lm": ["bigram_perplexity", "dup_ngram_spans",
+                 "exact_substring_spans", "pagerank",
                  "connected_components", "triangle_count"],
     "media_warc": ["video_features", "warc_extract", "vision_layout_ab"],
 }
