@@ -87,11 +87,10 @@ def bucketed_equi_join(left_dir: str, right_dir: str, *,
     All four equi-join types are supported; outer sides that are missing a
     bucket synthesize a typed empty table from the stored schema so
     unmatched rows null-extend instead of disappearing. Key columns
-    coalesce per pyarrow semantics: with equal key names the output has
-    one key column populated from whichever side matched; with distinct
-    ``lkey``/``rkey`` names only the LEFT key column survives, so
-    right-only rows of a full outer join carry a null key — prefer equal
-    key names for outer joins.
+    coalesce per pyarrow semantics (``coalesce_keys`` default): the output
+    carries ONE key column — named after the left key even when
+    ``lkey``/``rkey`` names differ — populated from whichever side
+    matched, so outer rows never carry a null key.
     """
     if join_type not in ("inner", "left outer", "right outer", "full outer"):
         raise ValueError(f"join_type {join_type!r} unsupported: use 'inner', "
@@ -120,18 +119,24 @@ def bucketed_equi_join(left_dir: str, right_dir: str, *,
             t = t.drop_columns(["bucket"])
         return t
 
-    def _empty_side(root: str, cols) -> pa.Table:
-        t = pq.read_schema(
-            _bucket_files(root, _any_bucket(root))[0]).empty_table()
-        if "bucket" in t.column_names:
-            t = t.drop_columns(["bucket"])
-        return t.select(list(cols)) if cols else t
-
     # which empty side kills the bucket vs null-extends the other side
     keeps_left = join_type in ("left outer", "full outer")
     keeps_right = join_type in ("right outer", "full outer")
 
     def join_bucket(t: pa.Table) -> pa.Table:
+        empty_cache: dict[str, pa.Table] = {}
+
+        def empty_side(root: str, cols, have) -> pa.Table:
+            if have is not None:
+                return have  # a typed 0-row table was already read
+            if root not in empty_cache:
+                e = pq.read_schema(
+                    _bucket_files(root, _any_bucket(root))[0]).empty_table()
+                if "bucket" in e.column_names:
+                    e = e.drop_columns(["bucket"])
+                empty_cache[root] = e.select(list(cols)) if cols else e
+            return empty_cache[root]
+
         out = []
         for b in t.column("b").to_pylist():
             lf, rf = _bucket_files(left_dir, b), _bucket_files(right_dir, b)
@@ -143,9 +148,9 @@ def bucketed_equi_join(left_dir: str, right_dir: str, *,
                     or (l_empty and r_empty):
                 continue
             if l_empty:
-                left = _empty_side(left_dir, left_cols)
+                left = empty_side(left_dir, left_cols, left)
             if r_empty:
-                right = _empty_side(right_dir, right_cols)
+                right = empty_side(right_dir, right_cols, right)
             out.append(left.join(right, keys=lkey, right_keys=rkey,
                                  join_type=join_type))
         if not out:

@@ -134,21 +134,21 @@ def recover_boxes(img: np.ndarray, *, scale: float = RENDER_SCALE,
     return boxes
 
 
-def region_grid_shapes(words: list[dict[str, Any]],
-                       regions: list[dict[str, Any]]) -> str:
+def region_grid_shapes(regions: list[dict[str, Any]]) -> str:
     """Table GRID shapes per detected region, serialized "RxC;RxC;..." in
-    region order: R = row groups within the region (same y-tolerance the
-    table extractor uses), C = the widest row's word count. Comparing the
-    word-path and pixel-path strings checks that rasterization preserved
-    not just how many table regions exist but their row/column structure —
-    a much stronger A/B than region counts alone."""
-    from .. import table_extract as T
+    region order: R = the region's own grouped lines (identify_table_regions
+    stores them on the descriptor), C = the widest line's word count.
+    Comparing the word-path and pixel-path strings checks that
+    rasterization preserved not just how many table regions exist but
+    their row/column structure — a much stronger A/B than region counts
+    alone. Reads the region's stored ``lines`` rather than re-filtering
+    page words (re-derivation both duplicated the detector's work and,
+    in the first version, silently measured the whole page per region)."""
     shapes = []
     for reg in regions:
-        rw = T.filter_words_to_region(words, reg)
-        rows = T.group_words_into_rows(rw)
-        ncols = max((len(r["words"]) for r in rows), default=0)
-        shapes.append(f"{len(rows)}x{ncols}")
+        lines = reg["lines"]
+        ncols = max((len(ln) for ln in lines), default=0)
+        shapes.append(f"{len(lines)}x{ncols}")
     return ";".join(shapes)
 
 
@@ -197,8 +197,8 @@ class VisionLayoutStage:
             vlines = G.group_words_into_lines(vwords)
             regions = G.identify_table_regions(words, lines)
             vregions = G.identify_table_regions(vwords, vlines)
-            grid = region_grid_shapes(words, regions)
-            vgrid = region_grid_shapes(vwords, vregions)
+            grid = region_grid_shapes(regions)
+            vgrid = region_grid_shapes(vregions)
             out["url"].append(urls[i].as_py())
             out["page_png_bytes"].append(len(png))
             out["n_words"].append(len(words))

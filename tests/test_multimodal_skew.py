@@ -314,13 +314,19 @@ def test_vision_stage_golden_deterministic(ray_session):
     # disagreements are exactly the overlapping-ink pages: vision never
     # sees MORE words than the payload carries
     assert (a.vision_n_words <= a.n_words).all()
-    # grid A/B: region ROW x COL structure survives rasterization on most
-    # pages — including some where merged ink broke word-count agreement
+    # grid A/B: each region's own ROW x COL structure (from its stored
+    # lines — NOT the whole-page grid) survives rasterization on most
+    # pages, including some where merged ink broke word-count agreement
     # (the grid is a structural invariant, not a word-count one)
-    assert a.grid_agree.mean() > 0.8
+    assert a.grid_agree.mean() > 0.6
     assert ((a.grid_agree) & (~a.layout_agree)).any()
     with_regions = a[a.n_regions > 0]
     assert with_regions.grid_shapes.str.match(r"^\d+x\d+(;\d+x\d+)*$").all()
     # every region contributes one RxC entry
     assert (with_regions.grid_shapes.str.count(";") + 1
             == with_regions.n_regions).all()
+    # the grids are genuinely PER-REGION: most multi-region pages carry
+    # at least two distinct shapes (a whole-page grid could never)
+    multi = a[a.n_regions > 1]
+    distinct = sum(len(set(s.split(";"))) > 1 for s in multi.grid_shapes)
+    assert distinct > len(multi) * 0.5
