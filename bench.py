@@ -57,7 +57,7 @@ BENCH_FAMILIES: dict[str, list[str]] = {
                        "brand_revenue_bucketed", "bucketed_storage_join",
                        "storage_full_outer_join", "incremental_dedup"],
     "graph_lm": ["bigram_perplexity", "dup_ngram_spans",
-                 "exact_substring_spans", "pagerank",
+                 "exact_substring_spans", "dedup_span_excision", "pagerank",
                  "connected_components", "triangle_count"],
     "media_warc": ["video_features", "warc_extract", "vision_layout_ab"],
 }

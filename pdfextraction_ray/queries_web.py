@@ -185,17 +185,19 @@ NGRAM_W = 8
 _POLY = np.uint64(1099511628211)  # FNV prime as the positional multiplier
 
 
-def _window_hashes(texts: pa.ChunkedArray, w: int = NGRAM_W):
-    """(flat window-hash array, per-doc window counts) for ``w``-token
-    sliding windows. Docs with fewer than ``w`` tokens contribute zero
-    windows."""
+def _window_scan(texts: pa.ChunkedArray, w: int = NGRAM_W):
+    """Full ``w``-token sliding-window scan: (window-hash array, per-doc
+    window counts, flat window starts into the token stream, flat tokens,
+    per-doc token counts). Docs with fewer than ``w`` tokens contribute
+    zero windows."""
     toks = pc.split_pattern(texts, " ")
     flat = pc.list_flatten(toks).to_numpy(zero_copy_only=False)
     lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False).astype(np.int64)
     th = pd.util.hash_array(flat, categorize=False)  # stable u64 per token
     n_win = np.maximum(lens - w + 1, 0)
     if len(th) < w or n_win.sum() == 0:
-        return np.empty(0, np.uint64), n_win
+        return (np.empty(0, np.uint64), n_win, np.empty(0, np.int64),
+                flat, lens)
     # flat polynomial window combine: h_i = sum_j th[i+j] * POLY^j (mod 2^64
     # by design — uint64 wraparound IS the modulus)
     m = len(th) - w + 1
@@ -209,7 +211,14 @@ def _window_hashes(texts: pa.ChunkedArray, w: int = NGRAM_W):
     starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
     valid = np.repeat(starts[n_win > 0],
                       n_win[n_win > 0]) + _ranges(n_win[n_win > 0])
-    return h[valid], n_win
+    return h[valid], n_win, valid, flat, lens
+
+
+def _window_hashes(texts: pa.ChunkedArray, w: int = NGRAM_W):
+    """(flat window-hash array, per-doc window counts) — the pair most
+    callers need from ``_window_scan``."""
+    h, n_win, _starts, _flat, _lens = _window_scan(texts, w)
+    return h, n_win
 
 
 def sorted_member(sorted_arr: np.ndarray, values: np.ndarray) -> np.ndarray:
@@ -421,6 +430,91 @@ SELECT g.doc_id, coalesce(n_spans, 0) AS n_spans,
        coalesce(longest_span, 0) AS longest_span
 FROM (SELECT DISTINCT doc_id FROM grams) g
 LEFT JOIN per_doc USING (doc_id)
+ORDER BY g.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# duplicated-span EXCISION — the APPLY half of Lee et al. exact-substring
+# dedup: rewrite each document with every duplicated span's tokens removed
+# (all copies; keeping one canonical copy is the exact-dedup path's job).
+# Same two streaming passes as the span queries; the cover set per doc is
+# computed as a vectorized difference array over member-window starts
+# (+1 at start, -1 at start+w, cumsum > 0 = covered), so only the final
+# per-doc string join is per-row — inherent string assembly, same class as
+# the parser loop. Output per doc (with >= 1 window): the cleaned text and
+# how many tokens were removed. The cleaned text is byte-comparable on
+# both engines because excision is defined purely on token indices.
+# ---------------------------------------------------------------------------
+
+
+def q_dedup_span_excision(sf_dir: str,
+                          broadcast_max: int = DUP_GRAM_BROADCAST_MAX
+                          ) -> pa.Table:
+    path = _p(sf_dir, "documents")
+    membership = _dup_gram_membership(path, broadcast_max)
+
+    def excise(t: pa.Table) -> pa.Table:
+        h, n_win, wstarts, flat, lens = _window_scan(t.column("text"))
+        hs = h.view(np.int64)
+        member = membership(hs) if len(hs) else np.zeros(0, dtype=bool)
+        n_tok = int(lens.sum())
+        delta = np.zeros(n_tok + NGRAM_W + 1, dtype=np.int64)
+        ms = wstarts[member]
+        np.add.at(delta, ms, 1)
+        np.add.at(delta, ms + NGRAM_W, -1)
+        covered = np.cumsum(delta[:n_tok]) > 0
+        doc_of_tok = np.repeat(np.arange(len(t)), lens)
+        kept_counts = np.bincount(doc_of_tok[~covered], minlength=len(t))
+        kept_flat = flat[~covered]
+        parts = np.split(kept_flat, np.cumsum(kept_counts)[:-1])
+        keep = n_win > 0
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        return pa.Table.from_pydict({
+            "doc_id": pa.array(ids[keep], pa.int64()),
+            "clean_text": pa.array(
+                [" ".join(parts[i]) for i in np.flatnonzero(keep)],
+                pa.string()),
+            "n_removed": pa.array((lens - kept_counts)[keep], pa.int64())})
+
+    out = rd.read_parquet(path, columns=["doc_id", "text"]) \
+        .map_batches(excise, batch_format="pyarrow")
+    t = pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+    return t.sort_by([("doc_id", "ascending")])
+
+
+SQL_DEDUP_SPAN_EXCISION = """
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+ grams AS (
+  SELECT doc_id, i, array_to_string(tk[i:i+7], ' ') AS g
+  FROM toks, UNNEST(range(1, len(tk) - 6)) AS t(i)
+  WHERE len(tk) >= 8),
+ dup AS (
+  SELECT g FROM grams GROUP BY g HAVING count(DISTINCT doc_id) >= 2),
+ dw AS (SELECT doc_id, i FROM grams WHERE g IN (SELECT g FROM dup)),
+ brk AS (SELECT doc_id, i,
+         CASE WHEN i - lag(i) OVER (PARTITION BY doc_id ORDER BY i) <= 8
+              THEN 0 ELSE 1 END AS b FROM dw),
+ isl AS (SELECT doc_id, i,
+         sum(b) OVER (PARTITION BY doc_id ORDER BY i
+                      ROWS UNBOUNDED PRECEDING) AS gid FROM brk),
+ covered AS (SELECT doc_id, gid, min(i) AS a, max(i) + 7 AS b
+             FROM isl GROUP BY doc_id, gid),
+ tokens AS (SELECT doc_id, i AS ti, tk[i] AS tok
+            FROM toks, UNNEST(range(1, len(tk) + 1)) AS t(i)
+            WHERE len(tk) >= 8),
+ kept AS (SELECT t.doc_id, t.ti, t.tok FROM tokens t
+          WHERE NOT EXISTS (SELECT 1 FROM covered c
+                            WHERE c.doc_id = t.doc_id
+                              AND t.ti BETWEEN c.a AND c.b)),
+ agg AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY ti) AS clean_text,
+         count(*) AS n_kept FROM kept GROUP BY doc_id)
+SELECT g.doc_id, coalesce(agg.clean_text, '') AS clean_text,
+       CAST(len(tk) - coalesce(agg.n_kept, 0) AS BIGINT) AS n_removed
+FROM (SELECT DISTINCT doc_id FROM grams) g
+JOIN toks tk_s USING (doc_id)
+LEFT JOIN agg USING (doc_id)
 ORDER BY g.doc_id
 """
 
@@ -1546,6 +1640,7 @@ WEB_QUERIES: dict[str, Callable[[str], Any]] = {
     "weighted_sample": q_weighted_sample,
     "dup_ngram_spans": q_dup_ngram_spans,
     "exact_substring_spans": q_exact_substring_spans,
+    "dedup_span_excision": q_dedup_span_excision,
     "pagerank": q_pagerank,
     "connected_components": q_connected_components,
     "value_percentiles_hist": q_value_percentiles_hist,
@@ -1567,6 +1662,7 @@ WEB_ORACLES: dict[str, str] = {
     "weighted_sample": SQL_WEIGHTED_SAMPLE,
     "dup_ngram_spans": SQL_DUP_NGRAM_SPANS,
     "exact_substring_spans": SQL_EXACT_SUBSTRING_SPANS,
+    "dedup_span_excision": SQL_DEDUP_SPAN_EXCISION,
     "pagerank": SQL_PAGERANK,
     "connected_components": SQL_CONNECTED_COMPONENTS,
     "rolling_event_stats": SQL_ROLLING_EVENT_STATS,

@@ -114,6 +114,33 @@ def test_exact_substring_scale_path_equals_broadcast_path(ray_session):
     assert small.equals(big)
 
 
+def test_dedup_span_excision_consistent_with_spans(ray_session):
+    """Excision removes exactly the token set the span query measures:
+    per doc, n_removed == dup_tokens, the cleaned text has exactly
+    n_words - n_removed tokens, and untouched docs keep their text
+    verbatim. Scale path (forced bloom) returns identical rows."""
+    from pdfextraction_ray.queries_web import (q_dedup_span_excision,
+                                               q_exact_substring_spans)
+
+    ex = q_dedup_span_excision(SF).to_pandas().set_index("doc_id")
+    sp = q_exact_substring_spans(SF).to_pandas().set_index("doc_id")
+    assert (ex.n_removed == sp.dup_tokens).all()
+    docs = pq.read_table(f"{SF}/documents.parquet",
+                         columns=["doc_id", "text"]).to_pandas() \
+        .set_index("doc_id")
+    for doc_id, row in ex.iterrows():
+        orig = docs.loc[doc_id, "text"].split(" ")
+        kept = row.clean_text.split(" ") if row.clean_text else []
+        assert len(kept) == len(orig) - row.n_removed
+        if row.n_removed == 0:
+            assert row.clean_text == docs.loc[doc_id, "text"]
+    assert (ex.n_removed > 0).any()  # the fixture exercises real removal
+    big = _no_big_driver_puts(
+        lambda: q_dedup_span_excision(SF, broadcast_max=0), 10_000) \
+        .to_pandas().set_index("doc_id")
+    assert ex.equals(big)
+
+
 def test_pagerank_is_a_distribution(ray_session):
     """Ranks form a probability distribution (ppm sums to ~1e6) and a
     power-iteration replay on the same synthesized edges converges to the
