@@ -40,7 +40,8 @@ BENCH_FAMILIES: dict[str, list[str]] = {
                  "exact_dedup"],
     "dedup": ["minhash_near_dup_pairs", "simhash_near_dup_pairs"],
     "embedding": ["embedding_topk", "embedding_ann_ivf", "kmeans_clusters",
-                  "mean_embedding_by_label", "logreg_train", "logreg_score"],
+                  "semantic_dedup", "mean_embedding_by_label",
+                  "logreg_train", "logreg_score"],
     "curation": ["redact_props", "word_repetition", "tfidf_terms",
                  "term_frequencies", "decontaminate", "stratified_sample",
                  "approx_distinct_users", "weighted_sample",

@@ -330,11 +330,10 @@ def _kmeans_pass(block_refs: list, cent: np.ndarray, k: int,
     return counts, sums
 
 
-def q_kmeans_clusters(sf_dir: str, k: int = KMEANS_K,
-                      iters: int = KMEANS_ITERS) -> pa.Table:
-    ds = rd.read_parquet(_p(sf_dir, "embeddings"),
-                         columns=["vec_id", "embedding"]).materialize()
-    refs = ds.to_arrow_refs()
+def _kmeans_fit(ds: "rd.Dataset", refs: list, k: int,
+                iters: int) -> np.ndarray:
+    """Lloyd's centroids over the pinned blocks (deterministic init = the
+    first k vectors by vec_id; ordered partial merge — see module header)."""
     seed = ds.sort("vec_id").limit(k).take_all()
     seed.sort(key=lambda r: r["vec_id"])
     cent = np.stack([np.asarray(r["embedding"], dtype=np.float64)
@@ -343,6 +342,15 @@ def q_kmeans_clusters(sf_dir: str, k: int = KMEANS_K,
         counts, sums = _kmeans_pass(refs, cent, k, with_inertia=False)
         nonempty = counts > 0
         cent[nonempty] = sums[nonempty] / counts[nonempty][:, None]
+    return cent
+
+
+def q_kmeans_clusters(sf_dir: str, k: int = KMEANS_K,
+                      iters: int = KMEANS_ITERS) -> pa.Table:
+    ds = rd.read_parquet(_p(sf_dir, "embeddings"),
+                         columns=["vec_id", "embedding"]).materialize()
+    refs = ds.to_arrow_refs()
+    cent = _kmeans_fit(ds, refs, k, iters)
     counts, inertia = _kmeans_pass(refs, cent, k, with_inertia=True)
     return pa.table({
         "cluster": pa.array(np.arange(k, dtype=np.int64)),
@@ -350,6 +358,83 @@ def q_kmeans_clusters(sf_dir: str, k: int = KMEANS_K,
         "inertia": pa.array(np.round(inertia[:, 0], 2)),
         "centroid_norm": pa.array(np.round(np.linalg.norm(cent, axis=1), 4)),
     })
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
+# web-scale through semantic deduplication"): cluster the embedding space
+# with k-means, then WITHIN each cluster greedily drop members whose cosine
+# similarity to an already-kept member exceeds tau — semantic near-dup
+# removal whose pairwise work is confined to one cluster at a time. Ray
+# shape: the shared Lloyd's fit (pinned blocks, ordered merge), one
+# assignment map_batches (centroids broadcast — k x dim is configuration-
+# sized), then groupby(cluster).map_groups for the greedy pass: the hash
+# shuffle co-locates each cluster, so pairwise cosine never crosses a task.
+# Keep order is farthest-from-centroid first (the paper's choice: cluster-
+# edge examples are the informative ones), vec_id-tiebroken so the result
+# is deterministic. At 100 TB the knob is k: size it so a cluster's
+# members fit one worker (the same bucket-is-the-memory-unit rule as the
+# joins) — the greedy pass is O(|cluster|^2 * dim). Pinned-golden oracle
+# (iterative clustering is not SQL-expressible); the dedup invariants are
+# asserted in pytest instead.
+# ---------------------------------------------------------------------------
+
+SEMDEDUP_TAU = 0.4  # the corpus' near-dup cosine threshold (see
+# q_embedding_near_dup_pairs), so the semantic and pairwise paths agree on
+# what "duplicate" means
+
+
+def q_semantic_dedup(sf_dir: str, k: int = KMEANS_K,
+                     iters: int = KMEANS_ITERS,
+                     tau: float = SEMDEDUP_TAU) -> pa.Table:
+    ds = rd.read_parquet(_p(sf_dir, "embeddings"),
+                         columns=["vec_id", "embedding"]).materialize()
+    cent = _kmeans_fit(ds, ds.to_arrow_refs(), k, iters)
+    cent_ref = ray.put(cent)
+
+    def assign(t: pa.Table) -> pa.Table:
+        c = ray.get(cent_ref)
+        mat = _emb_matrix(t.column("embedding"))
+        if not mat.size:
+            return pa.schema([("vec_id", pa.int64()),
+                              ("embedding", t.schema.field("embedding").type),
+                              ("cluster", pa.int64()),
+                              ("cdist", pa.float64())]).empty_table()
+        d = -2.0 * (mat @ c.T) + (c * c).sum(axis=1)[None, :]
+        a = np.argmin(d, axis=1)
+        row = np.arange(len(mat))
+        dist = d[row, a] + (mat * mat).sum(axis=1)  # ||x-c||^2, exact enough
+        return pa.table({"vec_id": t["vec_id"], "embedding": t["embedding"],
+                         "cluster": pa.array(a.astype(np.int64)),
+                         "cdist": pa.array(dist)})
+
+    def dedup_group(t: pa.Table) -> pa.Table:
+        mat = _emb_matrix(t.column("embedding")).astype(np.float64)
+        ids = t.column("vec_id").to_numpy(zero_copy_only=False)
+        cdist = t.column("cdist").to_numpy(zero_copy_only=False)
+        unit = mat / np.maximum(np.linalg.norm(mat, axis=1), 1e-12)[:, None]
+        order = np.lexsort((ids, -cdist))  # farthest from centroid first
+        keep = np.zeros(len(ids), dtype=bool)
+        max_sim = np.zeros(len(ids))
+        kept_rows: list[int] = []
+        for i in order:
+            sims = unit[kept_rows] @ unit[i] if kept_rows else np.empty(0)
+            max_sim[i] = sims.max() if len(sims) else 0.0
+            if max_sim[i] < tau:
+                keep[i] = True
+                kept_rows.append(i)
+        out = pa.table({
+            "vec_id": pa.array(ids, pa.int64()),
+            "cluster": t["cluster"],
+            "keep": pa.array(keep.astype(np.int32)),
+            "max_sim_kept": pa.array(max_sim)})
+        return _roundf(out, ["max_sim_kept"])
+
+    out = ds.map_batches(assign, batch_format="pyarrow") \
+        .groupby("cluster") \
+        .map_groups(dedup_group, batch_format="pyarrow")
+    t = pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+    return t.sort_by([("vec_id", "ascending")])
 
 
 # ---------------------------------------------------------------------------
@@ -442,6 +527,7 @@ CUR_QUERIES: dict[str, Callable[[str], Any]] = {
     "tfidf_terms": q_tfidf_terms,
     "events_range_join": q_events_range_join,
     "kmeans_clusters": q_kmeans_clusters,
+    "semantic_dedup": q_semantic_dedup,
     "approx_distinct_users": q_approx_distinct_users,
 }
 
@@ -453,4 +539,5 @@ CUR_ORACLES: dict[str, str] = {
 }
 
 # pinned-golden-backed (not SQL-expressible: iterative clustering, sketch)
-CUR_GOLDEN_QUERIES = ("kmeans_clusters", "approx_distinct_users")
+CUR_GOLDEN_QUERIES = ("kmeans_clusters", "semantic_dedup",
+                      "approx_distinct_users")

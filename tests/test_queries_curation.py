@@ -113,3 +113,36 @@ def test_word_repetition_drops_empty_docs(ray_session, tmp_path):
     t = q_word_repetition(str(tmp_path)).to_pandas()
     assert t.doc_id.tolist() == [0]
     assert t.n_words.tolist() == [3]
+
+
+def test_semantic_dedup_invariants(ray_session):
+    """SemDeDup contract: within a cluster the KEPT set is pairwise below
+    tau; every DROPPED member has >= tau cosine to some kept member of its
+    cluster (max_sim_kept records it); the pass is deterministic; and the
+    fixture actually exercises drops."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from pdfextraction_ray.queries_curation import (SEMDEDUP_TAU,
+                                                    q_semantic_dedup)
+
+    fn = getattr(q_semantic_dedup, "__wrapped__", q_semantic_dedup)
+    a = fn(SF).to_pandas()
+    b = fn(SF).to_pandas()
+    assert a.equals(b)
+    assert (a.keep == 0).any() and (a.keep == 1).any()
+    assert ((a.keep == 0) == (a.max_sim_kept >= SEMDEDUP_TAU)).all()
+
+    emb = pq.read_table(f"{SF}/embeddings.parquet",
+                        columns=["vec_id", "embedding"]).to_pandas() \
+        .set_index("vec_id")
+    mat = np.stack(emb.embedding.to_numpy()).astype(np.float64)
+    unit = mat / np.linalg.norm(mat, axis=1)[:, None]
+    pos = {v: i for i, v in enumerate(emb.index)}
+    for cl, g in a.groupby("cluster"):
+        kept = [pos[v] for v in g[g.keep == 1].vec_id]
+        sims = unit[kept] @ unit[kept].T
+        np.fill_diagonal(sims, 0.0)
+        assert sims.max() < SEMDEDUP_TAU + 1e-9
+        for v in g[g.keep == 0].vec_id:
+            assert (unit[kept] @ unit[pos[v]]).max() >= SEMDEDUP_TAU - 1e-9

@@ -32,6 +32,7 @@ GOLDEN_QUERIES = [
     "near_dup_clusters",
     "embedding_ann_ivf",
     "kmeans_clusters",
+    "semantic_dedup",
     "approx_distinct_users",
     "logreg_train",
     "logreg_score",
