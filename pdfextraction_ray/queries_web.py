@@ -360,6 +360,44 @@ FROM grams GROUP BY doc_id ORDER BY doc_id
 # ---------------------------------------------------------------------------
 
 
+def merge_window_islands(doc_of: np.ndarray, win_idx: np.ndarray,
+                         member: np.ndarray, n_docs: int,
+                         w: int = NGRAM_W):
+    """Vectorized gaps-and-islands merge of duplicated windows into maximal
+    spans: per doc returns (n_spans, covered tokens, longest span). Inputs
+    are the batch's window stream — sorted by (doc, start) by construction
+    — and the membership mask. A new island opens on a doc change or a
+    start-gap > w (window at i covers [i, i+w-1], so starts <= w apart
+    produce contiguous token coverage). Pure kernel (property-tested
+    against a brute-force interval union in pytest)."""
+    d, i = doc_of[member], win_idx[member]
+    new_isl = np.ones(len(d), dtype=bool)
+    if len(d) > 1:
+        new_isl[1:] = (d[1:] != d[:-1]) | (i[1:] - i[:-1] > w)
+    starts = np.flatnonzero(new_isl)
+    ends = np.append(starts[1:] - 1, len(d) - 1) if len(d) else starts
+    cover = i[ends] - i[starts] + w  # tokens covered per island
+    isl_doc = d[starts]
+    n_spans = np.bincount(isl_doc, minlength=n_docs).astype(np.int64)
+    dup_tokens = np.bincount(isl_doc, weights=cover,
+                             minlength=n_docs).astype(np.int64)
+    longest = np.zeros(n_docs, dtype=np.int64)
+    if len(isl_doc):
+        np.maximum.at(longest, isl_doc, cover)
+    return n_spans, dup_tokens, longest
+
+
+def cover_mask(win_starts: np.ndarray, n_tokens: int,
+               w: int = NGRAM_W) -> np.ndarray:
+    """Boolean cover of the flat token stream by windows [s, s+w) — the
+    vectorized difference-array form (+1 at s, -1 at s+w, cumsum > 0).
+    Pure kernel (property-tested against an explicit interval union)."""
+    delta = np.zeros(n_tokens + w + 1, dtype=np.int64)
+    np.add.at(delta, win_starts, 1)
+    np.add.at(delta, win_starts + w, -1)
+    return np.cumsum(delta[:n_tokens]) > 0
+
+
 def q_exact_substring_spans(sf_dir: str,
                             broadcast_max: int = DUP_GRAM_BROADCAST_MAX
                             ) -> pa.Table:
@@ -372,23 +410,8 @@ def q_exact_substring_spans(sf_dir: str,
         member = membership(hs) if len(hs) else np.zeros(0, dtype=bool)
         doc_of = np.repeat(np.arange(len(t)), n_win)
         win_idx = _ranges(n_win)
-        d, i = doc_of[member], win_idx[member]
-        # windows arrive sorted by (doc, start); a new island opens on a
-        # doc change or a start-gap > w (window at i covers [i, i+w-1], so
-        # starts <= w apart produce contiguous token coverage)
-        new_isl = np.ones(len(d), dtype=bool)
-        if len(d) > 1:
-            new_isl[1:] = (d[1:] != d[:-1]) | (i[1:] - i[:-1] > NGRAM_W)
-        starts = np.flatnonzero(new_isl)
-        ends = np.append(starts[1:] - 1, len(d) - 1) if len(d) else starts
-        cover = i[ends] - i[starts] + NGRAM_W  # tokens covered per island
-        isl_doc = d[starts]
-        n_spans = np.bincount(isl_doc, minlength=len(t)).astype(np.int64)
-        dup_tokens = np.bincount(isl_doc, weights=cover,
-                                 minlength=len(t)).astype(np.int64)
-        longest = np.zeros(len(t), dtype=np.int64)
-        if len(isl_doc):
-            np.maximum.at(longest, isl_doc, cover)
+        n_spans, dup_tokens, longest = merge_window_islands(
+            doc_of, win_idx, member, len(t))
         keep = n_win > 0
         ids = t.column("doc_id").to_numpy(zero_copy_only=False)
         return pa.Table.from_pydict({
@@ -458,12 +481,7 @@ def q_dedup_span_excision(sf_dir: str,
         h, n_win, wstarts, flat, lens = _window_scan(t.column("text"))
         hs = h.view(np.int64)
         member = membership(hs) if len(hs) else np.zeros(0, dtype=bool)
-        n_tok = int(lens.sum())
-        delta = np.zeros(n_tok + NGRAM_W + 1, dtype=np.int64)
-        ms = wstarts[member]
-        np.add.at(delta, ms, 1)
-        np.add.at(delta, ms + NGRAM_W, -1)
-        covered = np.cumsum(delta[:n_tok]) > 0
+        covered = cover_mask(wstarts[member], int(lens.sum()))
         doc_of_tok = np.repeat(np.arange(len(t)), lens)
         kept_counts = np.bincount(doc_of_tok[~covered], minlength=len(t))
         kept_flat = flat[~covered]

@@ -236,3 +236,58 @@ def test_bloom_from_dataset_equals_single_build(ray_session):
         .repartition(7)
     assert bytes(bloom_from_dataset(ds, "k", m, k)) == \
         bytes(bloom_build(pa.array(keys, pa.int64()), m, k))
+
+
+# --- span-dedup kernels (queries_web): islands merge and cover mask -------
+
+def _brute_islands(starts, w):
+    """Union of [s, s+w-1] intervals -> list of (a, b) maximal spans."""
+    spans = []
+    for s in sorted(starts):
+        if spans and s - spans[-1][1] <= w:
+            spans[-1][1] = s
+        else:
+            spans.append([s, s])
+    return [(a, b + w - 1) for a, b in spans]
+
+
+member_lists = st.lists(
+    st.lists(st.booleans(), min_size=0, max_size=30),
+    min_size=1, max_size=6)
+
+
+@given(member_lists)
+@settings(max_examples=120, deadline=None)
+def test_merge_window_islands_equals_interval_union(docs):
+    import numpy as np
+
+    from pdfextraction_ray.queries_web import NGRAM_W, merge_window_islands
+
+    doc_of = np.concatenate([np.full(len(m), d, dtype=np.int64)
+                             for d, m in enumerate(docs)])
+    win_idx = np.concatenate([np.arange(len(m), dtype=np.int64)
+                              for m in docs])
+    member = np.concatenate([np.array(m, dtype=bool) for m in docs])
+    n_spans, dup_tokens, longest = merge_window_islands(
+        doc_of, win_idx, member, len(docs))
+    for d, m in enumerate(docs):
+        spans = _brute_islands([i for i, x in enumerate(m) if x], NGRAM_W)
+        assert n_spans[d] == len(spans)
+        assert dup_tokens[d] == sum(b - a + 1 for a, b in spans)
+        assert longest[d] == max((b - a + 1 for a, b in spans), default=0)
+
+
+@given(st.lists(st.integers(0, 60), min_size=0, max_size=25, unique=True),
+       st.integers(1, 12))
+@settings(max_examples=120, deadline=None)
+def test_cover_mask_equals_explicit_union(starts, w):
+    import numpy as np
+
+    from pdfextraction_ray.queries_web import cover_mask
+
+    n = 80
+    got = cover_mask(np.array(sorted(starts), dtype=np.int64), n, w=w)
+    want = np.zeros(n, dtype=bool)
+    for s in starts:
+        want[s:s + w] = True
+    assert (got == want).all()
