@@ -391,15 +391,15 @@ def q_semantic_dedup(sf_dir: str, k: int = KMEANS_K,
                          columns=["vec_id", "embedding"]).materialize()
     cent = _kmeans_fit(ds, ds.to_arrow_refs(), k, iters)
     cent_ref = ray.put(cent)
+    assign_schema = pa.schema([("vec_id", pa.int64()),
+                               ("embedding", pa.list_(pa.float32())),
+                               ("cluster", pa.int64()),
+                               ("cdist", pa.float64())])
 
+    @guard_empty(assign_schema)
     def assign(t: pa.Table) -> pa.Table:
         c = ray.get(cent_ref)
         mat = _emb_matrix(t.column("embedding"))
-        if not mat.size:
-            return pa.schema([("vec_id", pa.int64()),
-                              ("embedding", t.schema.field("embedding").type),
-                              ("cluster", pa.int64()),
-                              ("cdist", pa.float64())]).empty_table()
         d = -2.0 * (mat @ c.T) + (c * c).sum(axis=1)[None, :]
         a = np.argmin(d, axis=1)
         row = np.arange(len(mat))
@@ -415,20 +415,28 @@ def q_semantic_dedup(sf_dir: str, k: int = KMEANS_K,
         unit = mat / np.maximum(np.linalg.norm(mat, axis=1), 1e-12)[:, None]
         order = np.lexsort((ids, -cdist))  # farthest from centroid first
         keep = np.zeros(len(ids), dtype=bool)
-        max_sim = np.zeros(len(ids))
-        kept_rows: list[int] = []
+        max_sim = np.zeros(len(ids), dtype=np.float32)
+        kept_buf = np.empty_like(unit)  # contiguous kept rows, written once
+        n_kept = 0
         for i in order:
-            sims = unit[kept_rows] @ unit[i] if kept_rows else np.empty(0)
-            max_sim[i] = sims.max() if len(sims) else 0.0
+            sims = kept_buf[:n_kept] @ unit[i]
+            # publish ROUNDED similarity (same half-towards-infinity/
+            # float32 arithmetic as _roundf) and decide keep on the SAME
+            # rounded value, so keep == (max_sim_kept < tau) holds exactly
+            # — deciding on the raw value while publishing a rounded one
+            # can contradict the flag within half an ulp of tau
+            s = sims.max() if len(sims) else 0.0
+            max_sim[i] = np.float32(np.floor(abs(s) * 1e4 + 0.5)
+                                    / 1e4 * np.sign(s))
             if max_sim[i] < tau:
                 keep[i] = True
-                kept_rows.append(i)
-        out = pa.table({
+                kept_buf[n_kept] = unit[i]
+                n_kept += 1
+        return pa.table({
             "vec_id": pa.array(ids, pa.int64()),
             "cluster": t["cluster"],
             "keep": pa.array(keep.astype(np.int32)),
             "max_sim_kept": pa.array(max_sim)})
-        return _roundf(out, ["max_sim_kept"])
 
     out = ds.map_batches(assign, batch_format="pyarrow") \
         .groupby("cluster") \
