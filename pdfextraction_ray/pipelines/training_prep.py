@@ -85,11 +85,22 @@ def _chunk_batch(t: pa.Table) -> pa.Table:
 
 
 def training_prep(ds: "Any", out_dir: Optional[str] = None, *,
-                  min_tokens: int = 50, n_buckets: int = 64) -> "Any":
+                  min_tokens: int = 50, n_buckets: int = 64,
+                  excise_spans: bool = False) -> "Any":
     """documents(doc_id, source, text) -> Dataset of split-labeled chunks
     (doc_id, chunk_id, n_tokens, chunk_text, split). If ``out_dir`` is
     given, also writes parquet partitioned by split and returns the
-    (already consumed) dataset."""
+    (already consumed) dataset.
+
+    ``excise_spans=True`` inserts the Lee-et-al exact-substring excision
+    between dedup and chunking (the RefinedWeb/Lee-et-al prep order:
+    quality -> exact dedup -> substring excision -> split -> chunk):
+    duplicated >= w-token spans are computed over the KEPT stream (spans
+    duplicated only among dropped docs don't count) and removed from
+    every surviving doc's text before chunk windows are cut. Same
+    size-gated membership machinery as q_dedup_span_excision; the kept
+    stream is consumed once more for the gram pass (lineage re-execution,
+    the module's documented trade)."""
 
     def score(t: pa.Table) -> pa.Table:
         t = _quality(t, min_tokens)
@@ -114,6 +125,18 @@ def training_prep(ds: "Any", out_dir: Optional[str] = None, *,
                          winners, probe_key="doc_id", build_key="doc_id",
                          value_cols=[], join_type="inner",
                          n_buckets=n_buckets)
+
+    if excise_spans:
+        from ..queries_web import (DUP_GRAM_BROADCAST_MAX,
+                                   dup_gram_membership_ds, excised_text)
+        membership = dup_gram_membership_ds(kept, DUP_GRAM_BROADCAST_MAX)
+
+        def excise_stage(t: pa.Table) -> pa.Table:
+            clean, _n_removed, _n_win = excised_text(t, membership)
+            idx = t.schema.get_field_index("text")
+            return t.set_column(idx, "text", pa.array(clean, pa.string()))
+
+        kept = kept.map_batches(excise_stage, batch_format="pyarrow")
 
     chunks = kept.map_batches(_assign_split, batch_format="pyarrow") \
         .map_batches(_chunk_batch, batch_format="pyarrow")

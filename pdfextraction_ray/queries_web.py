@@ -244,9 +244,17 @@ DUP_GRAM_BROADCAST_MAX = 5_000_000  # ~40 MB sorted u64 — broadcast budget
 
 
 def _dup_gram_membership(path: str, broadcast_max: int):
+    """Path form of ``dup_gram_membership_ds`` (reads the documents
+    parquet)."""
+    return dup_gram_membership_ds(
+        rd.read_parquet(path, columns=["doc_id", "text"]), broadcast_max)
+
+
+def dup_gram_membership_ds(docs: "rd.Dataset", broadcast_max: int):
     """Pass-1 of the duplicated-window family, shared by
-    ``q_dup_ngram_spans`` and ``q_exact_substring_spans``: window-hash the
-    corpus, keep grams seen in >= 2 distinct docs, and return a
+    ``q_dup_ngram_spans``, ``q_exact_substring_spans`` and the
+    training-prep excision stage: window-hash the (doc_id, text) stream,
+    keep grams seen in >= 2 distinct docs, and return a
     ``membership(hs) -> bool[]`` closure using the size-gated strategy
     (sorted-u64 broadcast below ``broadcast_max`` dup grams; distributed
     bloom prune + bucketed exact verify above)."""
@@ -265,8 +273,7 @@ def _dup_gram_membership(path: str, broadcast_max: int):
                                   bloom_params)
     from .functions.joins import BucketedBuildSide, probe_membership
 
-    partials = rd.read_parquet(path, columns=["doc_id", "text"]) \
-        .map_batches(gram_doc_partial, batch_format="pyarrow")
+    partials = docs.map_batches(gram_doc_partial, batch_format="pyarrow")
     counts = partials.groupby("gram").aggregate(Sum("n", alias_name="n"))
     dup = counts.filter(expr="n >= 2").select_columns(["gram"]).materialize()
     n_dup_grams = dup.count()
@@ -471,6 +478,22 @@ ORDER BY g.doc_id
 # ---------------------------------------------------------------------------
 
 
+def excised_text(t: pa.Table, membership, col: str = "text"):
+    """Per-row duplicated-span excision for a batch: returns (clean token
+    joins as a Python list, per-row removed-token counts, per-row window
+    counts). Rows with < w tokens have no windows, so their text round-
+    trips unchanged up to whitespace normalization (join(split(text)));
+    single-spaced corpora round-trip exactly."""
+    h, n_win, wstarts, flat, lens = _window_scan(t.column(col))
+    hs = h.view(np.int64)
+    member = membership(hs) if len(hs) else np.zeros(0, dtype=bool)
+    covered = cover_mask(wstarts[member], int(lens.sum()))
+    doc_of_tok = np.repeat(np.arange(len(t)), lens)
+    kept_counts = np.bincount(doc_of_tok[~covered], minlength=len(t))
+    parts = np.split(flat[~covered], np.cumsum(kept_counts)[:-1])
+    return [" ".join(p) for p in parts], lens - kept_counts, n_win
+
+
 def q_dedup_span_excision(sf_dir: str,
                           broadcast_max: int = DUP_GRAM_BROADCAST_MAX
                           ) -> pa.Table:
@@ -478,22 +501,14 @@ def q_dedup_span_excision(sf_dir: str,
     membership = _dup_gram_membership(path, broadcast_max)
 
     def excise(t: pa.Table) -> pa.Table:
-        h, n_win, wstarts, flat, lens = _window_scan(t.column("text"))
-        hs = h.view(np.int64)
-        member = membership(hs) if len(hs) else np.zeros(0, dtype=bool)
-        covered = cover_mask(wstarts[member], int(lens.sum()))
-        doc_of_tok = np.repeat(np.arange(len(t)), lens)
-        kept_counts = np.bincount(doc_of_tok[~covered], minlength=len(t))
-        kept_flat = flat[~covered]
-        parts = np.split(kept_flat, np.cumsum(kept_counts)[:-1])
+        clean, n_removed, n_win = excised_text(t, membership)
         keep = n_win > 0
         ids = t.column("doc_id").to_numpy(zero_copy_only=False)
         return pa.Table.from_pydict({
             "doc_id": pa.array(ids[keep], pa.int64()),
             "clean_text": pa.array(
-                [" ".join(parts[i]) for i in np.flatnonzero(keep)],
-                pa.string()),
-            "n_removed": pa.array((lens - kept_counts)[keep], pa.int64())})
+                [clean[i] for i in np.flatnonzero(keep)], pa.string()),
+            "n_removed": pa.array(n_removed[keep], pa.int64())})
 
     out = rd.read_parquet(path, columns=["doc_id", "text"]) \
         .map_batches(excise, batch_format="pyarrow")

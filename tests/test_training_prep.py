@@ -111,3 +111,46 @@ def test_training_prep_resumable_matches_and_resumes(ray_session, tmp_path):
     assert s2["partitions_skipped"] == [0, 2]
     got2 = chunk_df(str(out / "**" / "*.parquet"))
     pd.testing.assert_frame_equal(got, got2)
+
+
+def test_training_prep_excises_duplicated_spans(ray_session):
+    """excise_spans=True removes duplicated >= w-token spans from the KEPT
+    stream before chunking: every chunk of the excised run equals chunking
+    the independently-excised text, a shared boilerplate phrase disappears
+    from the output, and unique content survives verbatim."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from pdfextraction_ray.pipelines.training_prep import training_prep
+    from pdfextraction_ray.queries_training import CHUNK_STRIDE, CHUNK_WINDOW
+    from pdfextraction_ray.queries_web import NGRAM_W
+
+    boiler = " ".join(f"boiler{i}" for i in range(NGRAM_W))  # one window
+    rows = []
+    for d in range(6):
+        uniq = " ".join(f"u{d}w{i}" for i in range(60))
+        # boilerplate sits mid-doc in every doc -> duplicated across docs
+        rows.append((d, f"host{d}.com", f"{uniq} {boiler} {uniq}"))
+    docs = pa.table({
+        "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+        "source": pa.array([r[1] for r in rows]),
+        "text": pa.array([r[2] for r in rows])})
+
+    out = training_prep(rd.from_arrow(docs), None, min_tokens=10,
+                        excise_spans=True).to_pandas()
+    plain = training_prep(rd.from_arrow(docs), None,
+                          min_tokens=10).to_pandas()
+    assert any("boiler0" in t for t in plain.chunk_text)
+    assert not any("boiler" in t for t in out.chunk_text)
+    # per doc, the excised chunks are exactly the chunking of the
+    # boilerplate-free token stream (the window extends one token into
+    # each unique run's neighborhood only if duplicated there — it isn't,
+    # so exactly the boiler tokens disappear)
+    for d, g in out.groupby("doc_id"):
+        toks = rows[d][2].split(" ")
+        clean = [t for t in toks if not t.startswith("boiler")]
+        want = [" ".join(clean[c * CHUNK_STRIDE:
+                                c * CHUNK_STRIDE + CHUNK_WINDOW])
+                for c in range((len(clean) - 1) // CHUNK_STRIDE + 1)]
+        got = g.sort_values("chunk_id").chunk_text.tolist()
+        assert got == want
