@@ -58,6 +58,9 @@ def main(argv: list[str] | None = None) -> int:
                         help="documents parquet file or dir")
     p_prep.add_argument("--out", required=True)
     p_prep.add_argument("--min-tokens", type=int, default=50)
+    p_prep.add_argument("--excise-spans", action="store_true",
+                        help="remove duplicated >=8-token spans (Lee et al. "
+                             "exact-substring excision) before chunking")
 
     p_cmp = sub.add_parser("compact", help="compact small parquet files")
     p_cmp.add_argument("--input", required=True, help="dir of parquet files")
@@ -113,7 +116,8 @@ def main(argv: list[str] | None = None) -> int:
 
             ds = rd.read_parquet(args.input,
                                  columns=["doc_id", "source", "text"])
-            training_prep(ds, args.out, min_tokens=args.min_tokens)
+            training_prep(ds, args.out, min_tokens=args.min_tokens,
+                          excise_spans=args.excise_spans)
             # count from written footers — do NOT re-execute the pipeline
             import glob
             import os

@@ -49,3 +49,25 @@ def test_analyze_report(tmp_path):
     assert sorted(report["per_lang"]["lang"]) == report["per_lang"]["lang"]
     assert report["unique_docs"] <= 500
     assert set(report["value_percentiles"]) >= {"event_type", "p50", "p99"}
+
+
+def test_prep_cli_with_excision(tmp_path):
+    out = tmp_path / "prep"
+    res = subprocess.run(
+        [sys.executable, "-m", "pdfextraction_ray", "--num-cpus", "4",
+         "prep", "--input", f"{SF}/documents.parquet", "--out", str(out),
+         "--min-tokens", "50", "--excise-spans"],
+        capture_output=True, text=True, cwd="/root/repo", timeout=300)
+    assert res.returncode == 0, res.stderr[-2000:]
+    got = pq.read_table(str(out)).to_pandas()
+    assert len(got) > 0
+    assert set(got.split) <= {"train", "val", "test"}
+    # excision only removes: each doc's first chunk is a SUBSEQUENCE of
+    # its original token stream (tokens may disappear, never appear)
+    docs = pq.read_table(f"{SF}/documents.parquet",
+                         columns=["doc_id", "text"]).to_pandas() \
+        .set_index("doc_id")
+    first = got[got.chunk_id == 0].set_index("doc_id").chunk_text
+    for doc_id in list(first.index)[:20]:
+        orig = iter(docs.loc[doc_id, "text"].split(" "))
+        assert all(tok in orig for tok in first.loc[doc_id].split(" "))
