@@ -158,20 +158,26 @@ PREP_VERSION = "training_prep/1"
 
 def training_prep_resumable(input_paths, out_dir: str, *,
                             min_tokens: int = 50,
-                            files_per_partition: int = 1) -> dict:
-    """Checkpointed training prep: the same curate→dedup→split→chunk
-    semantics as ``training_prep``, partitioned by input file with commit
-    manifests so a killed run resumes (pipelines/runner.run_partitioned).
+                            files_per_partition: int = 1,
+                            excise_spans: bool = False) -> dict:
+    """Checkpointed training prep: the same curate→dedup→[excision]→split→
+    chunk semantics as ``training_prep``, partitioned by input file with
+    commit manifests so a killed run resumes (pipelines/runner.
+    run_partitioned).
 
-    The one GLOBAL stage — exact-dedup winner selection — cannot run
-    per-partition (a duplicate pair may span partitions), so winners are
-    recomputed up front on every (re)start as a NARROW full-corpus pass
-    ((text_hash, doc_id) only, min-doc_id per hash) and broadcast as a
-    sorted id array; per-partition pipelines then filter against it. The
-    pass is deterministic, so a resumed run rebuilds the identical winner
-    set and committed partitions stay valid. Output layout differs from
-    ``training_prep``: one directory per input partition (split stays a
-    column) — the manifest, not the split, is the resume unit.
+    GLOBAL stages cannot run per-partition: exact-dedup winner selection
+    (a duplicate pair may span partitions) and, with ``excise_spans``,
+    the duplicated-gram set (a span duplicated across partitions must
+    still count). Both are recomputed up front on every (re)start as
+    NARROW full-corpus passes — winners as a sorted id array, dup grams
+    via the same size-gated membership the standalone queries use — and
+    per-partition pipelines filter/excise against them. Both passes are
+    deterministic, so a resumed run rebuilds identical global state and
+    committed partitions stay valid (the flag is part of the commit
+    version, so toggling it invalidates rather than mixes semantics).
+    Output layout differs from ``training_prep``: one directory per input
+    partition (split stays a column) — the manifest, not the split, is
+    the resume unit.
     """
     import glob as _glob
 
@@ -198,24 +204,46 @@ def training_prep_resumable(input_paths, out_dir: str, *,
         .column("min(doc_id)").to_numpy(zero_copy_only=False))
     winners_ref = ray.put(winner_ids)
 
-    def pipeline(ds):
-        def keep_winners(t: pa.Table, _ref=winners_ref) -> pa.Table:
-            w = ray.get(_ref)
-            t = _quality(t, min_tokens)
-            ids = t.column("doc_id").to_numpy(zero_copy_only=False)
-            pos = np.searchsorted(w, ids)
-            pos[pos >= len(w)] = max(len(w) - 1, 0)
-            member = (w[pos] == ids) if len(w) else np.zeros(len(ids), bool)
-            return t.filter(pa.array(member)) \
-                .select(["doc_id", "source", "text"])
+    def keep_winners(t: pa.Table, _ref=winners_ref) -> pa.Table:
+        w = ray.get(_ref)
+        t = _quality(t, min_tokens)
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(w, ids)
+        pos[pos >= len(w)] = max(len(w) - 1, 0)
+        member = (w[pos] == ids) if len(w) else np.zeros(len(ids), bool)
+        return t.filter(pa.array(member)) \
+            .select(["doc_id", "source", "text"])
 
-        return ds.map_batches(keep_winners, batch_format="pyarrow") \
-            .map_batches(_assign_split, batch_format="pyarrow") \
+    membership = None
+    if excise_spans:
+        from ..queries_web import (DUP_GRAM_BROADCAST_MAX,
+                                   dup_gram_membership_ds)
+        kept_ds = rd.read_parquet(list(input_paths),
+                                  columns=["doc_id", "source", "text"]) \
+            .map_batches(keep_winners, batch_format="pyarrow")
+        membership = dup_gram_membership_ds(kept_ds, DUP_GRAM_BROADCAST_MAX)
+
+    def pipeline(ds):
+        out = ds.map_batches(keep_winners, batch_format="pyarrow")
+        if membership is not None:
+            from ..queries_web import excised_text
+
+            def excise_stage(t: pa.Table) -> pa.Table:
+                clean, _n_removed, _n_win = excised_text(t, membership)
+                idx = t.schema.get_field_index("text")
+                return t.set_column(idx, "text",
+                                    pa.array(clean, pa.string()))
+
+            out = out.map_batches(excise_stage, batch_format="pyarrow")
+        return out.map_batches(_assign_split, batch_format="pyarrow") \
             .map_batches(_chunk_batch, batch_format="pyarrow")
 
-    # the quality threshold changes every partition's content, so it is
-    # part of the commit version: resuming with a different min_tokens
-    # invalidates prior partitions instead of mixing two filter semantics
+    # the quality threshold and the excision flag change every partition's
+    # content, so both are part of the commit version: resuming with
+    # different values invalidates prior partitions instead of mixing
+    # two filter semantics
+    version = (f"{PREP_VERSION}/min_tokens={min_tokens}"
+               f"/excise={int(excise_spans)}")
     return run_partitioned(pipeline, list(input_paths), out_dir,
                            files_per_partition=files_per_partition,
-                           version=f"{PREP_VERSION}/min_tokens={min_tokens}")
+                           version=version)

@@ -154,3 +154,61 @@ def test_training_prep_excises_duplicated_spans(ray_session):
                 for c in range((len(clean) - 1) // CHUNK_STRIDE + 1)]
         got = g.sort_values("chunk_id").chunk_text.tolist()
         assert got == want
+
+
+def test_training_prep_resumable_with_excision(ray_session, tmp_path):
+    """Resumable + excision equals the one-shot excised pipeline even when
+    the duplicated span CROSSES partitions, and a manifest-delete resume
+    rebuilds identical global state (winner set + dup grams)."""
+    import glob
+    import os
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from pdfextraction_ray.pipelines.training_prep import (
+        training_prep, training_prep_resumable)
+    from pdfextraction_ray.queries_web import NGRAM_W
+
+    boiler = " ".join(f"boiler{i}" for i in range(NGRAM_W))
+    rows = []
+    for d in range(6):
+        uniq = " ".join(f"u{d}w{i}" for i in range(60))
+        rows.append((d, f"host{d}.com", f"{uniq} {boiler} {uniq}"))
+    docs = pa.table({
+        "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+        "source": pa.array([r[1] for r in rows]),
+        "text": pa.array([r[2] for r in rows])})
+    src = tmp_path / "docs"
+    src.mkdir()
+    # one doc per shard: the duplicated span only exists ACROSS partitions
+    for i in range(6):
+        pq.write_table(docs.slice(i, 1), src / f"s{i}.parquet")
+
+    out = tmp_path / "prep"
+    s1 = training_prep_resumable(str(src), str(out), min_tokens=10,
+                                 files_per_partition=2, excise_spans=True)
+    assert s1["partitions_run"] == [0, 1, 2]
+
+    files = glob.glob(str(out / "**" / "*.parquet"), recursive=True)
+    got = pa.concat_tables([pq.read_table(f) for f in files]).to_pandas() \
+        .sort_values(["doc_id", "chunk_id"]).reset_index(drop=True)
+    assert not any("boiler" in t for t in got.chunk_text)
+    want = training_prep(rd.from_arrow(docs), None, min_tokens=10,
+                         excise_spans=True).to_pandas() \
+        .sort_values(["doc_id", "chunk_id"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got[sorted(got.columns)], want[sorted(want.columns)])
+
+    manifests = sorted(glob.glob(str(out / "_manifest" / "*.json")))
+    os.remove(manifests[2])
+    s2 = training_prep_resumable(str(src), str(out), min_tokens=10,
+                                 files_per_partition=2, excise_spans=True)
+    assert s2["partitions_run"] == [2]
+    got2 = pa.concat_tables(
+        [pq.read_table(f) for f in glob.glob(str(out / "**" / "*.parquet"),
+                                             recursive=True)]).to_pandas() \
+        .sort_values(["doc_id", "chunk_id"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, got2)
