@@ -384,6 +384,35 @@ SEMDEDUP_TAU = 0.4  # the corpus' near-dup cosine threshold (see
 # what "duplicate" means
 
 
+def greedy_semantic_prune(mat: np.ndarray, cdist: np.ndarray,
+                          ids: np.ndarray, tau: float):
+    """One cluster's SemDeDup greedy pass as a pure kernel: visit members
+    farthest-from-centroid first (vec_id tiebreak — the lexsort makes the
+    result invariant to the ROW ORDER the shuffle delivered, which is what
+    keeps the pinned golden stable across sessions/layouts), keep a member
+    iff its max cosine to the already-kept set is below tau. Similarities
+    are ROUNDED (same half-towards-infinity/float32 arithmetic as _roundf)
+    BEFORE the compare, so the published ``max_sim_kept`` and the ``keep``
+    flag can never contradict each other within half an ulp of tau.
+    Returns (keep bool[], max_sim float32[])."""
+    unit = mat / np.maximum(np.linalg.norm(mat, axis=1), 1e-12)[:, None]
+    order = np.lexsort((ids, -cdist))  # farthest from centroid first
+    keep = np.zeros(len(ids), dtype=bool)
+    max_sim = np.zeros(len(ids), dtype=np.float32)
+    kept_buf = np.empty_like(unit)  # contiguous kept rows, written once
+    n_kept = 0
+    for i in order:
+        sims = kept_buf[:n_kept] @ unit[i]
+        s = sims.max() if len(sims) else 0.0
+        max_sim[i] = np.float32(np.floor(abs(s) * 1e4 + 0.5)
+                                / 1e4 * np.sign(s))
+        if max_sim[i] < tau:
+            keep[i] = True
+            kept_buf[n_kept] = unit[i]
+            n_kept += 1
+    return keep, max_sim
+
+
 def q_semantic_dedup(sf_dir: str, k: int = KMEANS_K,
                      iters: int = KMEANS_ITERS,
                      tau: float = SEMDEDUP_TAU) -> pa.Table:
@@ -412,26 +441,7 @@ def q_semantic_dedup(sf_dir: str, k: int = KMEANS_K,
         mat = _emb_matrix(t.column("embedding")).astype(np.float64)
         ids = t.column("vec_id").to_numpy(zero_copy_only=False)
         cdist = t.column("cdist").to_numpy(zero_copy_only=False)
-        unit = mat / np.maximum(np.linalg.norm(mat, axis=1), 1e-12)[:, None]
-        order = np.lexsort((ids, -cdist))  # farthest from centroid first
-        keep = np.zeros(len(ids), dtype=bool)
-        max_sim = np.zeros(len(ids), dtype=np.float32)
-        kept_buf = np.empty_like(unit)  # contiguous kept rows, written once
-        n_kept = 0
-        for i in order:
-            sims = kept_buf[:n_kept] @ unit[i]
-            # publish ROUNDED similarity (same half-towards-infinity/
-            # float32 arithmetic as _roundf) and decide keep on the SAME
-            # rounded value, so keep == (max_sim_kept < tau) holds exactly
-            # — deciding on the raw value while publishing a rounded one
-            # can contradict the flag within half an ulp of tau
-            s = sims.max() if len(sims) else 0.0
-            max_sim[i] = np.float32(np.floor(abs(s) * 1e4 + 0.5)
-                                    / 1e4 * np.sign(s))
-            if max_sim[i] < tau:
-                keep[i] = True
-                kept_buf[n_kept] = unit[i]
-                n_kept += 1
+        keep, max_sim = greedy_semantic_prune(mat, cdist, ids, tau)
         return pa.table({
             "vec_id": pa.array(ids, pa.int64()),
             "cluster": t["cluster"],

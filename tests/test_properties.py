@@ -291,3 +291,42 @@ def test_cover_mask_equals_explicit_union(starts, w):
     for s in starts:
         want[s:s + w] = True
     assert (got == want).all()
+
+
+# --- SemDeDup greedy kernel (queries_curation) ----------------------------
+
+vec_clusters = st.lists(
+    st.lists(st.floats(-1, 1, allow_nan=False, width=32),
+             min_size=4, max_size=4),
+    min_size=1, max_size=14)
+
+
+@given(vec_clusters, st.floats(0.2, 0.95))
+@settings(max_examples=100, deadline=None)
+def test_greedy_semantic_prune_invariants(vecs, tau):
+    import numpy as np
+
+    from pdfextraction_ray.queries_curation import greedy_semantic_prune
+
+    mat = np.array(vecs, dtype=np.float64)
+    ids = np.arange(len(mat), dtype=np.int64)
+    cdist = np.linalg.norm(mat - mat.mean(axis=0), axis=1)
+    keep, max_sim = greedy_semantic_prune(mat, cdist, ids, tau)
+    assert keep.any()  # the first-visited member is always kept
+    # flag and published similarity can never contradict
+    assert ((~keep) == (max_sim >= tau)).all()
+    unit = mat / np.maximum(np.linalg.norm(mat, axis=1), 1e-12)[:, None]
+    kept = unit[keep]
+    sims = kept @ kept.T
+    np.fill_diagonal(sims, 0.0)
+    # kept set pairwise below tau (up to the kernel's publish rounding)
+    assert sims.max() < tau + 5e-5
+    for i in np.flatnonzero(~keep):  # every dropped member has a witness
+        assert (kept @ unit[i]).max() >= tau - 5e-5
+    # ROW-ORDER INVARIANCE: shuffling the delivered rows permutes, never
+    # changes, the per-id decisions (cross-session golden stability)
+    perm = np.arange(len(mat))[::-1]
+    keep2, max_sim2 = greedy_semantic_prune(mat[perm], cdist[perm],
+                                            ids[perm], tau)
+    assert (keep2 == keep[perm]).all()
+    assert (max_sim2 == max_sim[perm]).all()
