@@ -381,7 +381,10 @@ def q_kmeans_clusters(sf_dir: str, k: int = KMEANS_K,
 
 SEMDEDUP_TAU = 0.4  # the corpus' near-dup cosine threshold (see
 # q_embedding_near_dup_pairs), so the semantic and pairwise paths agree on
-# what "duplicate" means
+# what "duplicate" means. Measured keep-rate vs tau on the sf0.1
+# embeddings (2000 vecs, k=8): 0.30->40.7%, 0.35->66.7%, 0.40->86.5%,
+# 0.45->97.1%, 0.50->99.7% kept — tau is the aggressiveness knob, the
+# cluster count k is the memory knob; they compose independently.
 
 
 def greedy_semantic_prune(mat: np.ndarray, cdist: np.ndarray,
