@@ -115,6 +115,50 @@ class LshBucketer:
         return batch.append_column("lsh_bucket", pa.array(buckets, pa.int64()))
 
 
+EMB_LSH_MAX_BUCKET = 4096   # hard per-bucket scoring cap (skew guard)
+_SCORE_CHUNK = 1024         # matmul row slab: peak scratch = chunk x bucket
+
+
+def score_cosine_bucket(ids, mat: np.ndarray, threshold: float,
+                        max_bucket: int = EMB_LSH_MAX_BUCKET,
+                        chunk: int = _SCORE_CHUNK
+                        ) -> tuple[np.ndarray, np.ndarray]:
+    """All-pairs cosine >= ``threshold`` within ONE LSH bucket, vectorized
+    and memory-bounded: rows are scored in ``chunk``-sized matmul slabs
+    (peak scratch chunk x |bucket| floats, never a dense |bucket|^2), and a
+    bucket larger than ``max_bucket`` is truncated to its ``max_bucket``
+    smallest vec_ids with a LOUD warning — the documented skew guard (a hot
+    bucket would otherwise run one O(|bucket|^2) task; raise the band's
+    plane count so the expected bucket falls under the cap instead).
+    Returns (vec_a, vec_b) int64 arrays with vec_a < vec_b, unordered."""
+    ids = np.asarray(ids, dtype=np.int64)
+    if len(ids) > max_bucket:
+        import warnings
+        warnings.warn(
+            f"embedding LSH bucket with {len(ids)} vectors: scoring capped "
+            f"at the {max_bucket} smallest vec_ids "
+            f"({len(ids) - max_bucket} unscored in this band — raise "
+            "planes_per_band so the expected bucket size falls under the "
+            "cap)", stacklevel=2)
+        keep = np.argsort(ids, kind="stable")[:max_bucket]
+        ids, mat = ids[keep], mat[keep]
+    if mat.size == 0 or len(ids) < 2:
+        return np.zeros(0, np.int64), np.zeros(0, np.int64)
+    norms = np.linalg.norm(mat, axis=1)
+    norms[norms == 0] = 1.0
+    unit = mat / norms[:, None]
+    out_a = [np.zeros(0, np.int64)]
+    out_b = [np.zeros(0, np.int64)]
+    for s in range(0, len(ids), chunk):
+        scores = unit[s:s + chunk] @ unit.T
+        ii, jj = np.nonzero(scores >= threshold)
+        ii = ii + s
+        keep = ids[ii] < ids[jj]
+        out_a.append(ids[ii][keep])
+        out_b.append(ids[jj][keep])
+    return np.concatenate(out_a), np.concatenate(out_b)
+
+
 def lsh_topk(ds: "ray.data.Dataset", query: np.ndarray, dim: int, k: int = 10,
              n_planes: int = 8, seed: int = 13, probe_radius: int = 1,
              bucketed: Optional["ray.data.Dataset"] = None) -> pa.Table:

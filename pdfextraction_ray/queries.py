@@ -885,7 +885,8 @@ def q_embedding_near_dup_pairs(sf_dir: str, threshold: float = 0.4,
 
 
 def q_embedding_near_dup_lsh(sf_dir: str, threshold: float = 0.4,
-                             n_bands: int = 4, planes_per_band: int = 3) -> pa.Table:
+                             n_bands: int = 4,
+                             planes_per_band: Optional[int] = None) -> pa.Table:
     """APPROXIMATE embedding near-dup — the 100-TB scale path: banded
     hyperplane LSH (OR-construction: ``n_bands`` independent bucketings,
     a pair is a candidate if it co-buckets in ANY band), all-pairs cosine
@@ -893,11 +894,26 @@ def q_embedding_near_dup_lsh(sf_dir: str, threshold: float = 0.4,
     < 1 by construction (measured ~2/3 of the exact 0.4-threshold pair set,
     ~all of the genuinely-near pairs; tune bands/planes per corpus).
     Deterministic (fixed per-band seeds), pinned-golden oracle; every found
-    pair is exact-scored, so the output is a subset of the exact query."""
-    from .functions.similarity import LshBucketer, _as_matrix
+    pair is exact-scored, so the output is a subset of the exact query.
 
-    first_rg = pq.ParquetFile(_p(sf_dir, "embeddings")).read_row_group(
-        0, columns=["embedding"])
+    ``planes_per_band`` defaults to corpus-sized: enough planes that the
+    EXPECTED bucket holds ~``EMB_LSH_MAX_BUCKET`` vectors (floor 3, which
+    preserves the pinned goldens at test scales) — at 10^9 vectors that is
+    18 planes, not a fixed 3 leaving n/8-sized buckets. Bucket scoring
+    itself is slab-chunked and hard-capped per bucket
+    (``score_cosine_bucket``), so a skew-hot bucket degrades recall with a
+    loud warning instead of an O(|bucket|^2) task (VERDICT r4 #2)."""
+    import math
+
+    from .functions.similarity import (EMB_LSH_MAX_BUCKET, LshBucketer,
+                                       _as_matrix, score_cosine_bucket)
+
+    pf = pq.ParquetFile(_p(sf_dir, "embeddings"))
+    if planes_per_band is None:
+        n_vecs = pf.metadata.num_rows
+        planes_per_band = max(3, math.ceil(
+            math.log2(max(1.0, n_vecs / EMB_LSH_MAX_BUCKET))))
+    first_rg = pf.read_row_group(0, columns=["embedding"])
     dim = len(first_rg.column("embedding")[0].as_py())
 
     class BandedBucketer:
@@ -928,18 +944,10 @@ def q_embedding_near_dup_lsh(sf_dir: str, threshold: float = 0.4,
     def score_bucket(g: pa.Table) -> pa.Table:
         ids = np.asarray(g.column("vec_id").to_pylist(), dtype=np.int64)
         mat = _as_matrix(g.column("embedding"))
-        if mat.size == 0 or len(ids) < 2:
-            return pa.Table.from_pydict({"vec_a": pa.array([], pa.int64()),
-                                         "vec_b": pa.array([], pa.int64())})
-        norms = np.linalg.norm(mat, axis=1)
-        norms[norms == 0] = 1.0
-        unit = mat / norms[:, None]
-        scores = unit @ unit.T
-        ii, jj = np.where(scores >= threshold)
-        keep = ids[ii] < ids[jj]
+        va, vb = score_cosine_bucket(ids, mat, threshold)
         return pa.Table.from_pydict({
-            "vec_a": pa.array(ids[ii][keep], pa.int64()),
-            "vec_b": pa.array(ids[jj][keep], pa.int64())})
+            "vec_a": pa.array(va, pa.int64()),
+            "vec_b": pa.array(vb, pa.int64())})
 
     out = exploded.groupby(["band", "bucket"]).map_groups(
         score_bucket, batch_format="pyarrow")

@@ -173,3 +173,37 @@ def test_simhash_bands_lsh_property():
         assert any(x == y for x, y in zip(D.simhash_bands(sa), D.simhash_bands(sb)))
     bands = D.simhash_bands(-1)  # all-ones simhash (signed representation)
     assert bands == [0xFFFF] * 4
+
+
+# -- bucket cosine scoring kernel (embedding LSH skew guard) ------------------
+
+def test_score_cosine_bucket_chunked_equals_dense():
+    """Slab-chunked scoring returns exactly the dense all-pairs set."""
+    from pdfextraction_ray.functions.similarity import score_cosine_bucket
+
+    rng = np.random.RandomState(3)
+    ids = (np.arange(50, dtype=np.int64) * 7) % 991
+    mat = rng.standard_normal((50, 16))
+    va, vb = score_cosine_bucket(ids, mat, 0.2, max_bucket=100, chunk=8)
+    unit = mat / np.linalg.norm(mat, axis=1)[:, None]
+    s = unit @ unit.T
+    ii, jj = np.nonzero(s >= 0.2)
+    keep = ids[ii] < ids[jj]
+    expect = set(zip(ids[ii][keep], ids[jj][keep]))
+    assert expect and set(zip(va, vb)) == expect
+    assert (va < vb).all()
+
+
+def test_score_cosine_bucket_skew_cap_warns_and_bounds():
+    """A deliberately-hot bucket trips the max_bucket guard: loud warning,
+    only the max_bucket smallest vec_ids are scored, no quadratic blow-up."""
+    from pdfextraction_ray.functions.similarity import score_cosine_bucket
+
+    rng = np.random.RandomState(5)
+    ids = rng.permutation(500).astype(np.int64)
+    mat = rng.standard_normal((500, 8))
+    with pytest.warns(UserWarning, match="capped"):
+        va, vb = score_cosine_bucket(ids, mat, -1.0, max_bucket=10, chunk=4)
+    small = set(np.sort(ids)[:10].tolist())
+    assert set(va.tolist()) | set(vb.tolist()) <= small
+    assert len(va) == 10 * 9 // 2  # threshold -1 scores every kept pair
