@@ -241,9 +241,12 @@ def training_prep_resumable(input_paths, out_dir: str, *,
     # the quality threshold and the excision flag change every partition's
     # content, so both are part of the commit version: resuming with
     # different values invalidates prior partitions instead of mixing
-    # two filter semantics
-    version = (f"{PREP_VERSION}/min_tokens={min_tokens}"
-               f"/excise={int(excise_spans)}")
+    # two filter semantics. The excise suffix is appended ONLY when the
+    # flag is set — excise_spans=False keeps the pre-flag version string,
+    # so checkpoints committed before the flag existed stay resumable
+    version = f"{PREP_VERSION}/min_tokens={min_tokens}"
+    if excise_spans:
+        version += "/excise=1"
     return run_partitioned(pipeline, list(input_paths), out_dir,
                            files_per_partition=files_per_partition,
                            version=version)

@@ -1908,3 +1908,40 @@ for _name in (tuple(EXT_GOLDEN_QUERIES) + tuple(CUR_GOLDEN_QUERIES)
     ORACLES[_name] = _golden_sql(_name)
     QUERIES[_name] = _golden_guard(_name, QUERIES[_name])
 del _name
+
+# ---------------------------------------------------------------------------
+# Registry ordering (VERDICT r4 #3): the driver's correctness gate samples
+# ~50 of the 90 registry entries per round, and its rounds 1-4 samples were
+# heavily biased toward the head of the registry — 39 entries (all of the
+# later additions: pagerank, bigram_perplexity, the span family, SemDeDup,
+# storage joins, warc_extract, ...) never received a CORRECTNESS row even
+# though they are green in the local sf0.01 driver-mirror sweep. List the
+# never-checked entries FIRST so the round-5 sample finally covers them.
+# Every entry remains present and callable either way; only dict iteration
+# order changes. The frozen set below is the union of keys across
+# CORRECTNESS_r01..r04.json.
+# ---------------------------------------------------------------------------
+_DRIVER_CHECKED_R1_R4 = frozenset({
+    "asof_join", "audio_features", "brand_revenue_bucketed",
+    "curated_documents", "customer_nation_balance",
+    "customers_without_orders", "decontaminate", "doc_fingerprints",
+    "embedding_ann_ivf", "embedding_ann_lsh", "embedding_near_dup_lsh",
+    "embedding_near_dup_pairs", "embedding_topk", "events_by_type",
+    "events_range_join", "events_window", "exact_dedup", "extract_pages",
+    "image_features", "language_id", "lineitem_semi_join",
+    "merge_longest_wins", "minhash_near_dup_pairs", "near_dup_clusters",
+    "ngram_jaccard_pairs", "orders_customer_join", "orders_priority",
+    "part_brand_stats", "pricing_summary", "props_json_sum",
+    "quality_filter", "redact_props", "segment_revenue",
+    "simhash_fingerprints", "simhash_near_dup_pairs", "stratified_sample",
+    "supplier_volume", "term_frequencies", "tfidf_terms", "token_stats",
+    "top_customers", "top_event_per_user", "top_recent_events",
+    "user_activity_features", "user_hourly_windows", "user_sessions",
+    "value_patterns", "value_percentiles", "video_features",
+    "vision_layout_ab", "word_repetition",
+})
+_ORDER = ([n for n in QUERIES if n not in _DRIVER_CHECKED_R1_R4]
+          + [n for n in QUERIES if n in _DRIVER_CHECKED_R1_R4])
+QUERIES = {n: QUERIES[n] for n in _ORDER}
+ORACLES = {n: ORACLES[n] for n in _ORDER if n in ORACLES}
+del _ORDER

@@ -1591,6 +1591,9 @@ def q_warc_extract(sf_dir: str) -> pa.Table:
     tmp_root = tempfile.mkdtemp(prefix="warc_extract_")
 
     def write_block(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:  # stray empty block: no file, empty manifest
+            return pa.table({"path": pa.array([], pa.string()),
+                             "n_docs": pa.array([], pa.int64())})
         ids = t.column("doc_id").to_pylist()
         recs = []
         for did, tx in zip(ids, t.column("text").to_pylist()):

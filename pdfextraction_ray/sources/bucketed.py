@@ -154,7 +154,13 @@ def bucketed_equi_join(left_dir: str, right_dir: str, *,
             out.append(left.join(right, keys=lkey, right_keys=rkey,
                                  join_type=join_type))
         if not out:
-            return pa.table({})
+            # typed 0-row table in the JOINED schema (left + right value
+            # columns), never the zero-column pa.table({}) — a downstream
+            # map_batches touching columns on an all-skipped batch would
+            # otherwise hit the known empty-zero-column-block hazard
+            return empty_side(left_dir, left_cols, None).join(
+                empty_side(right_dir, right_cols, None), keys=lkey,
+                right_keys=rkey, join_type=join_type)
         return pa.concat_tables(out, promote_options="default")
 
     ids = pa.table({"b": pa.array(list(range(n)), pa.int64())})

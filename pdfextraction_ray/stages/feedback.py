@@ -121,20 +121,30 @@ def correction_report(corrections: "rd.Dataset") -> pa.Table:
 def derive_overrides(corrections: "rd.Dataset", *,
                      defaults: Optional[dict[str, Any]] = None,
                      min_support: int = 2,
-                     ) -> tuple[ParserConfigOverrides, pa.Table]:
+                     ) -> tuple[ParserConfigOverrides, pa.Table, list[dict]]:
     """Compile a corrections Dataset into per-domain parser overrides.
 
-    Returns (overrides, report). ``defaults`` seed the returned
+    Returns (overrides, report, audit). ``defaults`` seed the returned
     :class:`ParserConfigOverrides` and the step arithmetic; re-running on a
     later corrections round with the previous result's params as defaults
     compounds the learning (the reference's feedback-history accumulation,
     feedback_analyzer.py '_format_feedback_history').
+
+    ``audit`` is the before/after lineage of every derived rule — one dict
+    per (domain, param) with the prior value, the new value, the supporting
+    correction count and the error-type evidence. It mirrors the
+    reference's per-correction feedback history record (storage.py:47-57:
+    step / user_feedback / result_before / result_after / iteration) at
+    rule granularity, and persists into a run manifest via
+    :func:`pdfextraction_ray.state.manifest.write_feedback_audit` so a user
+    auditing why a domain's output changed can trace the derivation.
     """
     defaults = dict(defaults or {"proximity_multiplier": 2.0,
                                  "min_text_chars": 25})
     report = correction_report(corrections)
     df = report.to_pandas()
     by_domain: dict[str, dict[str, Any]] = {}
+    audit: list[dict[str, Any]] = []
     for domain, grp in df.groupby("domain", sort=True):
         params: dict[str, Any] = {}
         # proximity clustering only exists on the words path — html
@@ -150,12 +160,26 @@ def derive_overrides(corrections: "rd.Dataset", *,
             params["proximity_multiplier"] = (
                 base * PROXIMITY_STEP if trunc > merged
                 else base / PROXIMITY_STEP)
+            audit.append({
+                "domain": str(domain), "param": "proximity_multiplier",
+                "before": base, "after": params["proximity_multiplier"],
+                "support": fixable,
+                "basis": (f"truncated_value={trunc} vs merged_value={merged}"
+                          f" (majority {'truncated' if trunc > merged else 'merged'})")})
         html_missing = grp[(grp.error_type == "missing_value")
                            & (grp.doc_kind == "html")]
-        if int(html_missing.n.sum()) >= min_support:
+        n_missing = int(html_missing.n.sum())
+        if n_missing >= min_support:
             shortest = int(html_missing.min_missing_len.min())
             if shortest < int(defaults["min_text_chars"]):
                 params["min_text_chars"] = max(1, shortest)
+                audit.append({
+                    "domain": str(domain), "param": "min_text_chars",
+                    "before": int(defaults["min_text_chars"]),
+                    "after": params["min_text_chars"],
+                    "support": n_missing,
+                    "basis": (f"missing_value(html)={n_missing}, shortest "
+                              f"missing expected len={shortest}")})
         if params:
             by_domain[domain] = params
-    return ParserConfigOverrides(by_domain, defaults=defaults), report
+    return ParserConfigOverrides(by_domain, defaults=defaults), report, audit

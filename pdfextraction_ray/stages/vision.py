@@ -54,6 +54,13 @@ def render_words(words: list[dict[str, Any]], *, scale: float = RENDER_SCALE,
     black rectangle per word bbox."""
     if not words:
         return np.full((margin * 2 + 1, margin * 2 + 1), 255, np.uint8)
+    x0 = min(w["x0"] for w in words)
+    y0 = min(w["y0"] for w in words)
+    if x0 < 0 or y0 < 0:
+        # numpy negative slice indices WRAP to the opposite edge — a
+        # negative-coordinate word would silently paint the wrong corner
+        raise ValueError(f"word bbox extends to ({x0}, {y0}): negative page "
+                         "coordinates cannot be rendered")
     x1 = max(w["x1"] for w in words)
     y1 = max(w["y1"] for w in words)
     W = int(np.ceil(x1 * scale)) + 2 * margin

@@ -105,6 +105,61 @@ def committed_partitions(out_dir: str, parser_version: str,
     return done
 
 
+def write_feedback_audit(out_dir: str, rules: list, *, iteration: int,
+                         derived_from: Optional[dict] = None) -> str:
+    """Persist a feedback-derivation audit trail beside the partition
+    lineage records (reference storage.py:47-57 keeps
+    {step, timestamp, user_feedback, result_before, result_after,
+    iteration} per correction; the engine records the same lineage at
+    derived-RULE granularity — each rule carries before/after parameter
+    values, its supporting correction count and the error-type evidence,
+    produced by ``stages.feedback.derive_overrides``).
+
+    One atomic JSON per derivation iteration:
+    ``_manifest/feedback-audit-iter-0001.json``. The ``part-*.json``
+    scanners (committed_partitions / job_summary) never pick these up —
+    the filename prefix differs — so audit records coexist with resume
+    state in the same manifest directory."""
+    import time
+    mdir = os.path.join(out_dir, MANIFEST_DIR)
+    os.makedirs(mdir, exist_ok=True)
+    record = {
+        "iteration": int(iteration),
+        "timestamp": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+        "rules": list(rules),
+        "derived_from": derived_from or {},
+    }
+    path = os.path.join(mdir, f"feedback-audit-iter-{iteration:04d}.json")
+    fd, tmp = tempfile.mkstemp(dir=mdir, suffix=".tmp")
+    try:
+        with os.fdopen(fd, "w") as f:
+            json.dump(record, f, indent=1, sort_keys=True)
+        os.replace(tmp, path)
+    finally:
+        if os.path.exists(tmp):
+            os.unlink(tmp)
+    return path
+
+
+def read_feedback_audit(out_dir: str) -> list:
+    """All feedback-audit records under ``out_dir``, ordered by iteration.
+    Torn/corrupt records are skipped (same policy as read_manifest)."""
+    mdir = os.path.join(out_dir, MANIFEST_DIR)
+    out = []
+    if not os.path.isdir(mdir):
+        return out
+    for name in sorted(os.listdir(mdir)):
+        if not (name.startswith("feedback-audit-iter-")
+                and name.endswith(".json")):
+            continue
+        try:
+            with open(os.path.join(mdir, name)) as f:
+                out.append(json.load(f))
+        except (json.JSONDecodeError, OSError):
+            continue
+    return sorted(out, key=lambda r: r.get("iteration", 0))
+
+
 def job_summary(out_dir: str,
                 valid_ids: Optional[set] = None) -> dict[str, Any]:
     """Aggregate counters across committed manifests (the G2/G8-style

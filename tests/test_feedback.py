@@ -69,12 +69,19 @@ def test_corrections_flip_wide_gap_domain(ray_session):
         "expected": [GOOD_VALUE] * 3,
         "got": got,
         "doc_kind": ["words"] * 3}))
-    overrides, report = derive_overrides(corrections)
+    overrides, report, audit = derive_overrides(corrections)
 
     # 3. the analyzer classified the pattern and derived the config
     rep = report.to_pandas()
     assert set(rep.error_type) == {"truncated_value"}
     assert overrides.resolve("wide.example")["proximity_multiplier"] == 3.0
+
+    # 3b. the derived rule carries its before/after audit lineage
+    assert audit == [{"domain": "wide.example",
+                      "param": "proximity_multiplier",
+                      "before": 2.0, "after": 3.0, "support": 3,
+                      "basis": "truncated_value=3 vs merged_value=0 "
+                               "(majority truncated)"}]
 
     # 4. re-extraction through the standard parse-time resolution now
     # matches the golden; other domains are untouched
@@ -102,7 +109,7 @@ def test_missing_html_text_lowers_min_chars(ray_session):
         "url": urls, "field": ["extracted_text"] * 2,
         "expected": [para] * 2, "got": ["", None],
         "doc_kind": ["html"] * 2}))
-    overrides, report = derive_overrides(corrections)
+    overrides, report, audit = derive_overrides(corrections)
     assert overrides.resolve("brief.example")["min_text_chars"] == len(para)
 
     after = _parse_one(urls[0], payload, overrides=overrides)
@@ -126,7 +133,7 @@ def test_merged_corrections_lower_multiplier(ray_session):
     corrections = rd.from_arrow(pa.table({
         "url": [r[0] for r in rows], "field": [r[1] for r in rows],
         "expected": [r[2] for r in rows], "got": [r[3] for r in rows]}))
-    overrides, _ = derive_overrides(corrections)
+    overrides, _, _ = derive_overrides(corrections)
     got = overrides.resolve("glue.example")["proximity_multiplier"]
     assert np.isclose(got, 2.0 / 1.5)
     # tie -> no signal; below min_support -> no rule
@@ -145,8 +152,9 @@ def test_wrong_value_and_no_error_rows_derive_nothing(ray_session):
         "field": ["F", "F", "F"],
         "expected": ["alpha", "beta", "gamma"],
         "got": ["omega", "delta", "gamma"]}))  # 2 wrong_value + 1 no_error
-    overrides, report = derive_overrides(corrections)
+    overrides, report, audit = derive_overrides(corrections)
     assert not overrides.by_domain
+    assert audit == []  # no rule derived -> no audit row
     rep = report.to_pandas()
     assert set(rep.error_type) == {"wrong_value"}
     assert rep.n.sum() == 2  # the no_error row was dropped
@@ -167,7 +175,52 @@ def test_html_truncations_do_not_turn_words_knob(ray_session):
         "expected": ["alpha beta gamma"] * 3,
         "got": ["alpha beta"] * 3,
         "doc_kind": ["html"] * 3}))
-    overrides, report = derive_overrides(corrections)
+    overrides, report, audit = derive_overrides(corrections)
     assert "proximity_multiplier" not in overrides.by_domain.get(
         "h.example", {})
     assert set(report.to_pandas().error_type) == {"truncated_value"}
+
+
+def test_feedback_audit_round_trips_through_manifest(ray_session, tmp_path):
+    """VERDICT r4 #5: a derived override's audit row persists into the run
+    manifest (reference storage.py:47-57 feedback history: before/after +
+    iteration) and reads back beside partition lineage records without
+    confusing the resume scanners."""
+    from pdfextraction_ray.stages.feedback import derive_overrides
+    from pdfextraction_ray.state.manifest import (committed_partitions,
+                                                  read_feedback_audit,
+                                                  write_feedback_audit,
+                                                  write_manifest)
+
+    corrections = rd.from_arrow(pa.table({
+        "url": [f"http://wide.example/doc{i}" for i in range(3)],
+        "field": ["Employee Name:"] * 3,
+        "expected": [GOOD_VALUE] * 3,
+        "got": ["ACME"] * 3,
+        "doc_kind": ["words"] * 3}))
+    overrides, _, audit = derive_overrides(corrections)
+    assert len(audit) == 1
+
+    out = str(tmp_path / "run")
+    # a partition lineage record lives in the same _manifest dir
+    write_manifest(out, 0, input_files=["a.parquet"], parser_version="v1",
+                   counters={"docs": 3}, wall_time_s=0.1)
+    write_feedback_audit(out, audit, iteration=1,
+                         derived_from={"n_corrections": 3})
+    # second iteration compounds from the first result's params
+    overrides2, _, audit2 = derive_overrides(
+        corrections, defaults=overrides.resolve("wide.example"))
+    write_feedback_audit(out, audit2, iteration=2)
+
+    records = read_feedback_audit(out)
+    assert [r["iteration"] for r in records] == [1, 2]
+    assert records[0]["rules"] == audit
+    assert records[0]["derived_from"] == {"n_corrections": 3}
+    r1, r2 = records[0]["rules"][0], records[1]["rules"][0]
+    # the audit trail shows the compounding: iter-2's before == iter-1's
+    # after (this is the result_before/result_after chain the reference
+    # keeps per correction)
+    assert r1["before"] == 2.0 and r1["after"] == 3.0
+    assert r2["before"] == 3.0 and r2["after"] == 4.5
+    # resume scanners ignore the audit files
+    assert committed_partitions(out, "v1") == {0}
