@@ -741,18 +741,21 @@ def q_connected_components(sf_dir: str) -> pa.Table:
     path = _p(sf_dir, "documents")
     n = pq.read_metadata(path).num_rows
 
-    def gen_sym_edges(t: pa.Table) -> pa.Table:
-        # undirected: emit both directions once, so each round is a single
-        # probe pass (each edge offers its src's label to its dst)
+    def gen_sym_self_edges(t: pa.Table) -> pa.Table:
+        # undirected (both directions) PLUS a self-edge per node: with
+        # self-edges, min-over-offers == min(own label, neighbor labels),
+        # so the offer groupby's output IS the next label set — no second
+        # merge join per round, and every node is guaranteed a row
         src, dst = _block_edges(t, n)
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
         return pa.Table.from_pydict({
-            "src": pa.array(np.concatenate([src, dst]), pa.int64()),
-            "dst": pa.array(np.concatenate([dst, src]), pa.int64())})
+            "src": pa.array(np.concatenate([src, dst, ids]), pa.int64()),
+            "dst": pa.array(np.concatenate([dst, src, ids]), pa.int64())})
 
     # same input-derived block sizing as q_pagerank (see comment there)
-    n_blocks = max(4, (n * CC_FANOUT * 2) // 500_000)
+    n_blocks = max(4, (n * (CC_FANOUT * 2 + 1)) // 500_000)
     edges = rd.read_parquet(path, columns=["doc_id"]) \
-        .map_batches(gen_sym_edges, batch_format="pyarrow") \
+        .map_batches(gen_sym_self_edges, batch_format="pyarrow") \
         .repartition(n_blocks).materialize()
     n_buckets = _graph_buckets(n)
 
@@ -762,6 +765,7 @@ def q_connected_components(sf_dir: str) -> pa.Table:
     label_ds = rd.read_parquet(path, columns=["doc_id"]) \
         .repartition(max(4, n // 1_000_000 + 4)) \
         .map_batches(init_label, batch_format="pyarrow").materialize()
+    prev_sum = label_ds.sum("l")
 
     def offer_min(t: pa.Table) -> pa.Table:
         g = pa.table({"node": t["dst"], "l": t["l"]}) \
@@ -769,35 +773,31 @@ def q_connected_components(sf_dir: str) -> pa.Table:
         g = g.select(["node", "l_min"])
         return g.rename_columns(["node", "l"])
 
-    def merge_labels(t: pa.Table) -> pa.Table:
-        l_old = t["l"]
-        om = pc.fill_null(t["om"], pa.scalar(np.iinfo(np.int64).max))
-        l_new = pc.min_element_wise(l_old, om)
-        chg = pc.cast(pc.less(l_new, l_old), pa.int64())
-        return pa.table({"node": t["node"], "l": l_new, "chg": chg})
-
-    # NEGATIVE RESULT (round 4, keep the two-join form): fusing the merge
-    # into the offer groupby — offers carry old=+inf, every node adds a
-    # self row with old=l, one groupby recovers min(l) and min(old) — was
-    # A/B'd at sf0.1 (fresh sessions, 3 reps): union 9.7-10.8 s vs join
-    # 7.4-8.0 s. The fused groupby sort-shuffles the full n-sized label
-    # set every round; the map-side bucketed join it replaced is cheaper.
+    # One probe pass + one groupby-min per round (round 5; was two joins +
+    # a groupby + a chg merge — 6.4 s loop vs 2.8 s at sf0.1, same rounds,
+    # frame-equal). Early stop reads the MONOTONE label sum: labels only
+    # decrease, so sum(l) strictly decreases until the fixed point; equal
+    # sums => no label moved. Sound while a round's total decrease cannot
+    # wrap int64 — guaranteed for n < 2^32 since labels are doc_ids < n
+    # (the same composite-key bound triangle_count documents); past that,
+    # switch the stop scalar to the chg-column form from git history.
+    # NEGATIVE RESULT (round 4, superseded): fusing the merge via a
+    # per-round UNION of self rows into the offer stream was 1.3x SLOWER
+    # than the two-join form — the union re-shuffled n label rows every
+    # round. Baking self-EDGES into the one-time materialized edge set is
+    # what makes the fused groupby win: no per-round union stage at all.
     for _ in range(CC_ROUNDS):
-        # build side narrowed to (node, l): from round 2 label_ds also
-        # carries chg, which must not ship in every bucket
-        offers = bucketed_join(edges, label_ds.select_columns(["node", "l"]),
+        offers = bucketed_join(edges, label_ds,
                                probe_key="src",
                                build_key="node", value_cols=["l"],
                                n_buckets=n_buckets, join_type="left") \
             .map_batches(offer_min, batch_format="pyarrow")
-        om = offers.groupby("node").aggregate(Min("l", alias_name="om"))
-        label_ds = bucketed_join(label_ds.select_columns(["node", "l"]), om,
-                                 probe_key="node", build_key="node",
-                                 value_cols=["om"], n_buckets=n_buckets,
-                                 join_type="left") \
-            .map_batches(merge_labels, batch_format="pyarrow").materialize()
-        if label_ds.sum("chg") == 0:  # fixed point: rounds R..10 no-op
+        label_ds = offers.groupby("node") \
+            .aggregate(Min("l", alias_name="l")).materialize()
+        s = label_ds.sum("l")
+        if s == prev_sum:  # fixed point: rounds R..10 no-op
             break
+        prev_sum = s
 
     out = label_ds.map_batches(
         lambda t: pa.table({"doc_id": t["node"], "component": t["l"]}),
