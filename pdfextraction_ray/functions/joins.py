@@ -253,3 +253,71 @@ def bucketed_join(probe_ds, build_table, *, probe_key: str,
                                list(value_cols), value_types, n_buckets,
                                join_type),
         batch_format="pyarrow")
+
+
+KEY_BROADCAST_MAX = 5_000_000  # ~40 MB sorted u64 — the broadcast budget
+
+
+def int_keys_membership(keys_ds, key_col: str,
+                        broadcast_max: int = KEY_BROADCAST_MAX,
+                        fp_rate: float = 0.01):
+    """Size-gated exact-membership closure over an int64 key Dataset — the
+    dup-gram regime (queries_web.dup_gram_membership_ds) generalized so any
+    n-sized key set (exact-dedup winners, crawl-diff hashes) can gate the
+    same way:
+
+    - ≤ ``broadcast_max`` keys: ONE sorted-u64 array broadcast via
+      ``ray.put``; probes are a vectorized ``searchsorted`` per batch.
+    - above: the keys never land on the driver — a distributed bloom
+      (per-block partials OR-merged streaming, functions/bloom) prunes each
+      probe batch to the ~fp_rate survivors, which are exactly verified
+      against a ``BucketedBuildSide.from_dataset`` (driver holds refs only).
+
+    Returns ``membership(np.ndarray[int64]) -> np.ndarray[bool]``, safe to
+    call inside ``map_batches`` workers. ``keys_ds`` is consumed (counted +
+    either collected-under-gate or bucketed); pass a materialized dataset if
+    it will be reused. Keys must be unique for the build side; duplicates
+    merely waste space."""
+    from .bloom import bloom_contains, bloom_from_dataset, bloom_params
+
+    keys_ds = keys_ds.materialize()
+    n_keys = keys_ds.count()
+    if n_keys == 0:
+        def membership(vals: np.ndarray) -> np.ndarray:
+            return np.zeros(len(vals), dtype=bool)
+        return membership
+
+    if n_keys <= broadcast_max:
+        t = pa.Table.from_pandas(keys_ds.to_pandas(), preserve_index=False)
+        sorted_ref = ray.put(np.sort(t.column(key_col).to_numpy(
+            zero_copy_only=False).astype(np.int64)))
+
+        def membership(vals: np.ndarray) -> np.ndarray:
+            arr = ray.get(sorted_ref)
+            if len(vals) == 0:
+                return np.zeros(0, dtype=bool)
+            idx = np.searchsorted(arr, vals)
+            idx[idx >= len(arr)] = len(arr) - 1
+            return arr[idx] == vals
+        return membership
+
+    # scale regime: ~250k keys/bucket (a few MB per worker fetch), floor 8
+    n_buckets = int(max(8, min(1024, n_keys // 250_000 + 8)))
+    side = BucketedBuildSide.from_dataset(
+        keys_ds, key_col, n_buckets,
+        schema=pa.schema([(key_col, pa.int64())]))
+    refs = side.refs
+    m_bits, k = bloom_params(n_keys, fp_rate)
+    bits_ref = ray.put(bloom_from_dataset(keys_ds, key_col, m_bits, k))
+
+    def membership(vals: np.ndarray) -> np.ndarray:
+        member = np.zeros(len(vals), dtype=bool)
+        if len(vals) == 0:
+            return member
+        bits = ray.get(bits_ref)
+        cand = bloom_contains(bits, pa.array(vals, pa.int64()), m_bits, k)
+        if cand.any():
+            member[np.flatnonzero(cand)] = probe_membership(
+                pa.array(vals[cand], pa.int64()), refs, key_col, n_buckets)
+        return member
+    return membership

@@ -114,15 +114,18 @@ def training_prep(ds: "Any", out_dir: Optional[str] = None, *,
     # The winner pass and the probe pass each consume ``ds`` once (Ray Data
     # re-executes lineage per consumption — the scale-right choice over a
     # corpus-sized materialize); the per-row md5 runs ONLY on the winner
-    # pass, the probe re-runs just the vectorized quality kernels.
+    # pass, the probe re-runs just the vectorized quality kernels. The
+    # winner id set is n-sized (one per unique text), so it stays a DATASET
+    # build side (BucketedBuildSide.from_dataset inside bucketed_join) —
+    # the driver never holds it.
     winners_ds = ds.map_batches(score, batch_format="pyarrow") \
-        .groupby("text_hash").min("doc_id")
-    winners = pa.Table.from_pandas(winners_ds.to_pandas(),
-                                   preserve_index=False)
-    winners = pa.table({"doc_id": winners.column("min(doc_id)")})
+        .groupby("text_hash").min("doc_id") \
+        .map_batches(lambda t: pa.table(
+            {"doc_id": t.column("min(doc_id)").cast(pa.int64())}),
+            batch_format="pyarrow")
 
     kept = bucketed_join(ds.map_batches(quality_only, batch_format="pyarrow"),
-                         winners, probe_key="doc_id", build_key="doc_id",
+                         winners_ds, probe_key="doc_id", build_key="doc_id",
                          value_cols=[], join_type="inner",
                          n_buckets=n_buckets)
 
@@ -181,7 +184,6 @@ def training_prep_resumable(input_paths, out_dir: str, *,
     """
     import glob as _glob
 
-    import ray
     import ray.data as rd
 
     from .runner import run_partitioned
@@ -195,22 +197,28 @@ def training_prep_resumable(input_paths, out_dir: str, *,
         t = D.md5_hex_batch(t)
         return t.select(["text_hash", "doc_id"])
 
+    from ..functions.joins import KEY_BROADCAST_MAX, int_keys_membership
+
     winners_ds = rd.read_parquet(list(input_paths),
                                  columns=["doc_id", "text"]) \
         .map_batches(score, batch_format="pyarrow") \
-        .groupby("text_hash").min("doc_id")
-    winner_ids = np.sort(pa.Table.from_pandas(
-        winners_ds.to_pandas(), preserve_index=False)
-        .column("min(doc_id)").to_numpy(zero_copy_only=False))
-    winners_ref = ray.put(winner_ids)
+        .groupby("text_hash").min("doc_id") \
+        .map_batches(lambda t: pa.table(
+            {"doc_id": t.column("min(doc_id)").cast(pa.int64())}),
+            batch_format="pyarrow")
+    # size-gated: sorted-u64 broadcast under the gate, distributed
+    # bloom + bucketed exact verify above — the winner set is n-sized
+    # (one id per unique text) and must not land whole on the driver
+    winner_member = int_keys_membership(
+        winners_ds, "doc_id",
+        broadcast_max=int(os.environ.get("PDFX_WINNER_BROADCAST_MAX",
+                                         KEY_BROADCAST_MAX)))
 
-    def keep_winners(t: pa.Table, _ref=winners_ref) -> pa.Table:
-        w = ray.get(_ref)
+    def keep_winners(t: pa.Table) -> pa.Table:
         t = _quality(t, min_tokens)
-        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
-        pos = np.searchsorted(w, ids)
-        pos[pos >= len(w)] = max(len(w) - 1, 0)
-        member = (w[pos] == ids) if len(w) else np.zeros(len(ids), bool)
+        ids = t.column("doc_id").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        member = winner_member(ids)
         return t.filter(pa.array(member)) \
             .select(["doc_id", "source", "text"])
 

@@ -175,3 +175,29 @@ def test_dataset_build_side_tolerates_empty_schema_blocks(ray_session):
                         value_cols=["v"], n_buckets=4,
                         join_type="left").to_pandas().sort_values("k")
     assert out.v.dropna().astype(int).tolist() == [286, 286]
+
+
+def test_int_keys_membership_both_regimes(ray_session):
+    """Broadcast and bloom+bucketed-verify regimes agree exactly; empty key
+    sets answer all-False."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from pdfextraction_ray.functions.joins import int_keys_membership
+
+    keys = np.arange(0, 20_000, 3, dtype=np.int64)  # 6667 keys
+    ds = rd.from_arrow(pa.table({"k": pa.array(keys, pa.int64())}))
+    probes = np.arange(-5, 20_010, dtype=np.int64)
+    want = np.isin(probes, keys)
+
+    m_bc = int_keys_membership(ds, "k", broadcast_max=10_000_000)
+    m_bl = int_keys_membership(ds, "k", broadcast_max=0)  # force scale path
+    assert np.array_equal(m_bc(probes), want)
+    assert np.array_equal(m_bl(probes), want)
+    assert np.array_equal(m_bc(np.array([], dtype=np.int64)),
+                          np.zeros(0, bool))
+
+    empty = rd.from_arrow(pa.table({"k": pa.array([], pa.int64())}))
+    m_e = int_keys_membership(empty, "k")
+    assert not m_e(probes).any()

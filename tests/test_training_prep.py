@@ -212,3 +212,56 @@ def test_training_prep_resumable_with_excision(ray_session, tmp_path):
                                              recursive=True)]).to_pandas() \
         .sort_values(["doc_id", "chunk_id"]).reset_index(drop=True)
     pd.testing.assert_frame_equal(got, got2)
+
+
+def test_winner_membership_forced_bloom_matches(ray_session, tmp_path,
+                                                monkeypatch):
+    """PDFX_WINNER_BROADCAST_MAX=0 forces the scale regime (distributed
+    bloom + bucketed exact verify) for the resumable winner filter; the
+    chunk output must be frame-equal to the broadcast regime."""
+    import glob
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pdfextraction_ray.pipelines.training_prep import (
+        training_prep_resumable)
+
+    docs = pq.read_table("/root/testdata/sf0.001/documents.parquet",
+                         columns=["doc_id", "source", "text"])
+    src = tmp_path / "docs"
+    src.mkdir()
+    for i in range(2):
+        pq.write_table(docs.slice(i * 250, 250), src / f"s{i}.parquet")
+
+    def chunk_df(out):
+        files = glob.glob(str(out / "**" / "*.parquet"), recursive=True)
+        t = pa.concat_tables([pq.read_table(f) for f in files])
+        return t.to_pandas().sort_values(
+            ["doc_id", "chunk_id"]).reset_index(drop=True)
+
+    out_a = tmp_path / "prep_broadcast"
+    training_prep_resumable(str(src), str(out_a), min_tokens=50)
+    monkeypatch.setenv("PDFX_WINNER_BROADCAST_MAX", "0")
+    out_b = tmp_path / "prep_bloom"
+    training_prep_resumable(str(src), str(out_b), min_tokens=50)
+    pd.testing.assert_frame_equal(chunk_df(out_a), chunk_df(out_b))
+
+
+def test_training_prep_no_corpus_sized_driver_puts(ray_session):
+    """The exact-dedup winner set is n-sized (one id per unique text) and
+    must never be ray.put whole by the driver — it rides the object store
+    as a dataset build side (bucketed_join / int_keys_membership)."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from pdfextraction_ray.pipelines.training_prep import training_prep
+    from test_queries_web import _no_big_driver_puts
+
+    n = pq.read_metadata(f"{SF}/documents.parquet").num_rows
+    ds = rd.read_parquet(f"{SF}/documents.parquet",
+                         columns=["doc_id", "source", "text"])
+    out = _no_big_driver_puts(
+        lambda: training_prep(ds, min_tokens=50).materialize(), n // 2)
+    assert out.count() > 0
