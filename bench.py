@@ -169,9 +169,25 @@ def run_bench() -> dict:
                         f"bench family {fam!r} failed:\n{proc.stderr[-4000:]}")
                 q_times.update(json.load(open(tf.name)))
 
+    e2e = {}
+    if not os.environ.get("GRAFT_BENCH_SKIP_QUERIES"):
+        import tempfile
+        with tempfile.NamedTemporaryFile("r", suffix=".json") as tf:
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__),
+                 "--run-e2e", "--out", tf.name],
+                capture_output=True, text=True,
+                cwd=os.path.dirname(os.path.abspath(__file__)),
+                env=dict(os.environ))
+            if proc.returncode != 0:
+                raise RuntimeError(
+                    f"bench e2e failed:\n{proc.stderr[-4000:]}")
+            e2e = json.load(open(tf.name))
+
     result = {
         "metric": "flagship_extract_sec",
         "value": round(headline, 3),
+        **e2e,
         "unit": "sec",
         "flagship_insession_sec": round(insession, 3),
         "queries": q_times,
@@ -215,6 +231,43 @@ def run_family(family: str) -> dict:
     return q_times
 
 
+def run_e2e() -> dict:
+    """The composed curation job (VERDICT r4 #8) over the bench corpus in
+    a fresh session: parse -> quality -> langid -> exact dedup -> minhash
+    near-dup drop -> span excision -> split -> chunk -> pack -> parquet
+    sink. One number for the composed training-prep path, not just its
+    stages."""
+    import ray
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    from ray.data import DataContext
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    ctx.execution_options.verbose_progress = False
+    import ray.data as rd
+
+    from pdfextraction_ray.pipelines.e2e import curation_e2e_pages
+
+    paths = ensure_corpus(N_DOCS)
+    # spin up worker processes untimed
+    rd.range(10_000).map_batches(lambda b: b).materialize()
+    out_dir = f"/tmp/pdfextraction_ray_bench/e2e_{NUM_CPUS}"
+    shutil.rmtree(out_dir, ignore_errors=True)
+    t0 = time.perf_counter()
+    curation_e2e_pages(paths, out_dir)
+    sec = time.perf_counter() - t0
+    n_chunks = sum(
+        pq_f.metadata.num_rows for pq_f in
+        (__import__("pyarrow.parquet", fromlist=["ParquetFile"])
+         .ParquetFile(p)
+         for p in glob.glob(os.path.join(out_dir, "**", "*.parquet"),
+                            recursive=True)))
+    ray.shutdown()
+    return {"curation_e2e_sec": round(sec, 3),
+            "curation_e2e_docs_per_sec": round(N_DOCS / sec, 1),
+            "curation_e2e_chunks": n_chunks}
+
+
 def run_scaling() -> dict:
     """Same job, fresh process per parallelism level, best-of-reps timing.
 
@@ -250,6 +303,12 @@ def run_scaling() -> dict:
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
+    elif "--run-e2e" in sys.argv:
+        res = run_e2e()
+        if "--out" in sys.argv:
+            with open(sys.argv[sys.argv.index("--out") + 1], "w") as f:
+                json.dump(res, f)
+        print(json.dumps(res))
     elif "--run-family" in sys.argv:
         res = run_family(sys.argv[sys.argv.index("--run-family") + 1])
         if "--out" in sys.argv:

@@ -321,3 +321,182 @@ def int_keys_membership(keys_ds, key_col: str,
                 pa.array(vals[cand], pa.int64()), refs, key_col, n_buckets)
         return member
     return membership
+
+
+@ray.remote
+def _agg_reduce_bucket(key_cols, n_col: str, agg: str, min_total, schema,
+                       *pieces: pa.Table) -> pa.Table:
+    """Reduce one hash bucket: fold the per-block pieces in slabs of 64 so
+    peak memory is bounded by slab x piece size plus the (shrinking)
+    accumulator, not the whole bucket's raw rows (sum/min/max are all
+    associative, so folding partial aggregates is exact)."""
+    acc = schema.empty_table()
+    for i in range(0, len(pieces), 64):
+        slab = [acc] + [p for p in pieces[i:i + 64] if p.num_rows > 0]
+        t = pa.concat_tables(slab)
+        acc = t.group_by(list(key_cols)).aggregate([(n_col, agg)]) \
+            .select(list(key_cols) + [f"{n_col}_{agg}"]) \
+            .rename_columns(list(key_cols) + [n_col])
+    if min_total is not None:
+        acc = acc.filter(pc.greater_equal(acc.column(n_col),
+                                          pa.scalar(min_total)))
+    return acc.combine_chunks()
+
+
+def hash_groupby_agg(ds, key_cols, n_col: str, *, agg: str = "sum",
+                     min_total=None, n_buckets: Optional[int] = None):
+    """Distributed groupby-aggregate via an explicit two-level hash
+    shuffle: each block splits into ``n_buckets`` hash partitions (map
+    side), one task per bucket folds its pieces with pyarrow ``group_by``
+    (reduce side). ``agg`` is any associative pyarrow aggregate ("sum",
+    "min", "max"); ``key_cols`` a column name or list of them. Returns a
+    Dataset(*key_cols, n_col), optionally filtered to ``n_col >=
+    min_total``.
+
+    Why not ``ds.groupby(key).sum()``: Ray 2.49's sort-based aggregate
+    measures ~100k rows/s on int64 keys (50 s for a 5.5M-row gram stream
+    at 16 CPUs); this hash reduce does the same job in ~1 s — sorting is
+    wasted work when the output only needs grouping, not order. The same
+    two-level shape a multi-node tree-reduce needs: map-side pieces move
+    once, each reduce bucket fits a worker heap (``n_buckets`` defaults to
+    ~250k rows/bucket, clamped to [8, 4096] — size it so
+    rows/n_buckets stays heap-friendly at your scale).
+
+    ``ds`` is materialized (the map side needs its block refs) — same
+    contract as ``BucketedBuildSide.from_dataset``. Deterministic output
+    content; row order within blocks is not."""
+    import ray.data as rd
+
+    if isinstance(key_cols, str):
+        key_cols = [key_cols]
+    key_cols = list(key_cols)
+    ds = ds.select_columns(key_cols + [n_col]).materialize()
+    base = ds.schema().base_schema
+    schema = pa.schema([(c, base.field(c).type) for c in key_cols]
+                       + [(n_col, base.field(n_col).type)])
+    n_rows = ds.count()
+    if n_buckets is None:
+        n_buckets = int(max(8, min(4096, n_rows // 250_000 + 8)))
+    block_refs = ds.to_arrow_refs()
+    if not block_refs or n_rows == 0:
+        return rd.from_arrow(schema.empty_table())
+    outs = []
+    for r in block_refs:
+        out = _split_block_by_composite.options(
+            num_returns=n_buckets).remote(r, key_cols, n_buckets, schema)
+        outs.append([out] if n_buckets == 1 else out)
+    refs = [_agg_reduce_bucket.remote(key_cols, n_col, agg, min_total,
+                                      schema, *[o[b] for o in outs])
+            for b in range(n_buckets)]
+    return rd.from_arrow_refs(refs)
+
+
+def hash_groupby_sum(ds, key_col, n_col: str, *,
+                     min_total=None, n_buckets: Optional[int] = None):
+    """groupby-sum specialization of ``hash_groupby_agg``."""
+    return hash_groupby_agg(ds, key_col, n_col, agg="sum",
+                            min_total=min_total, n_buckets=n_buckets)
+
+
+def _composite_hash(tbl: pa.Table, key_cols: Sequence[str]) -> np.ndarray:
+    """One u64 per row over multiple key columns (order-sensitive mix)."""
+    h = key_hash_u64(tbl.column(key_cols[0]))
+    for c in key_cols[1:]:
+        with np.errstate(over="ignore"):
+            h = (h * _KNUTH) ^ key_hash_u64(tbl.column(c))
+    return h
+
+
+@ray.remote
+def _split_block_by_composite(tbl: pa.Table, key_cols, n_buckets: int,
+                              schema: pa.Schema):
+    if tbl.num_rows == 0:
+        empty = schema.empty_table()
+        return empty if n_buckets == 1 else tuple([empty] * n_buckets)
+    buckets = (_composite_hash(tbl, key_cols)
+               % np.uint64(n_buckets)).astype(np.int64)
+    order = np.argsort(buckets, kind="stable")
+    sorted_tbl = tbl.take(pa.array(order))
+    counts = np.bincount(buckets, minlength=n_buckets)
+    offsets = np.concatenate(([0], np.cumsum(counts)))
+    out = tuple(sorted_tbl.slice(int(offsets[b]), int(counts[b]))
+                for b in range(n_buckets))
+    return out[0] if n_buckets == 1 else out
+
+
+@ray.remote
+def _apply_groups_bucket(key_cols, fn, schema, *pieces: pa.Table):
+    """Process every group that hashed to this bucket: ONE sort + zero-copy
+    group slices + a Python fn call per group (micro-groups pay a function
+    call, not a Ray task or a distributed-sort share)."""
+    live = [p for p in pieces if p.num_rows > 0]
+    if not live:
+        return schema.empty_table() if schema is not None else pa.table({})
+    tbl = pa.concat_tables(live)
+    tbl = tbl.sort_by([(c, "ascending") for c in key_cols])
+    # group boundaries on the sorted composite hash (equal keys adjacent;
+    # a hash collision between DIFFERENT adjacent keys would merge two
+    # groups - guard with an exact first-row comparison per boundary)
+    h = _composite_hash(tbl, key_cols)
+    bounds = [0]
+    for i in np.flatnonzero(np.diff(h)):
+        bounds.append(int(i) + 1)
+    # exact boundaries: also split where any key column changes but the
+    # hash did not (2^-64 per pair, but exactness is cheap here)
+    cols = [tbl.column(c) for c in key_cols]
+    extra = set()
+    for c in cols:
+        v = c.to_numpy(zero_copy_only=False)
+        for i in np.flatnonzero(v[1:] != v[:-1]):
+            extra.add(int(i) + 1)
+    bounds = sorted(set(bounds) | extra)
+    bounds.append(tbl.num_rows)
+    outs = []
+    for s, e in zip(bounds[:-1], bounds[1:]):
+        r = fn(tbl.slice(s, e - s))
+        if r.num_rows > 0:
+            outs.append(r)
+    if not outs:
+        return schema.empty_table() if schema is not None else pa.table({})
+    return pa.concat_tables(outs).combine_chunks()
+
+
+def hash_group_apply(ds, key_cols: Sequence[str], fn, *,
+                     n_buckets: int = 64,
+                     out_schema: Optional[pa.Schema] = None):
+    """``ds.groupby(key_cols).map_groups(fn)`` via an explicit two-level
+    hash shuffle: blocks split by composite key hash (map side), one task
+    per bucket sorts its pieces once and applies ``fn`` to each group
+    slice (reduce side). Returns a Dataset of ``fn``'s concatenated
+    outputs.
+
+    Why not ``ds.groupby().map_groups()``: Ray 2.49 sorts the whole
+    stream (~100k rows/s) and pays per-group overhead in its own group
+    iterator — for many micro-groups (LSH buckets, per-key verify) this
+    hash reduce is an order of magnitude faster. ``fn`` must be a pure
+    per-group pa.Table -> pa.Table function (same contract as
+    map_groups with batch_format="pyarrow"). ``out_schema`` types the
+    empty result; groups land whole in exactly one bucket.
+
+    ``ds`` is materialized (the map side needs block refs). Bucket sizing:
+    rows/n_buckets must fit a worker heap, same rule as
+    ``BucketedBuildSide``."""
+    import ray.data as rd
+
+    ds = ds.materialize()
+    in_schema = ds.schema().base_schema
+    block_refs = ds.to_arrow_refs()
+    if not block_refs:
+        return rd.from_arrow(out_schema.empty_table()
+                             if out_schema is not None
+                             else in_schema.empty_table())
+    outs = []
+    for r in block_refs:
+        out = _split_block_by_composite.options(
+            num_returns=n_buckets).remote(r, list(key_cols), n_buckets,
+                                          in_schema)
+        outs.append([out] if n_buckets == 1 else out)
+    refs = [_apply_groups_bucket.remote(list(key_cols), fn, out_schema,
+                                        *[o[b] for o in outs])
+            for b in range(n_buckets)]
+    return rd.from_arrow_refs(refs)

@@ -95,9 +95,13 @@ def q_bigram_perplexity(sf_dir: str) -> pa.Table:
         g = df.groupby(["w1", "w2"], sort=False).size().reset_index(name="c")
         return pa.Table.from_pandas(g, preserve_index=False)
 
-    big_all = docs.map_batches(pair_partial, batch_format="pyarrow") \
-        .groupby(["w1", "w2"]).aggregate(Sum("c", alias_name="c")) \
-        .materialize()
+    # two-level hash reduce (joins.hash_groupby_agg), not the sort
+    # aggregate: the bigram partial stream is the module's widest shuffle
+    # and Ray 2.49's sort groupby runs ~100k rows/s on it
+    from .functions.joins import hash_groupby_agg
+    big_all = hash_groupby_agg(
+        docs.map_batches(pair_partial, batch_format="pyarrow"),
+        ["w1", "w2"], "c", agg="sum").materialize()
     # prune the singleton tail INSIDE the dataset, then key it for the
     # bucketed join — the model never materializes on the driver
     big_keyed = big_all.filter(expr=f"c >= {BIGRAM_MIN_COUNT}") \
@@ -116,8 +120,9 @@ def q_bigram_perplexity(sf_dir: str) -> pa.Table:
         g = g.select(["w1", "c_sum"])
         return g.rename_columns(["w1", "c1"])
 
-    uni_ds = big_all.map_batches(uni_partial, batch_format="pyarrow") \
-        .groupby("w1").aggregate(Sum("c1", alias_name="c1")).materialize()
+    uni_ds = hash_groupby_agg(
+        big_all.map_batches(uni_partial, batch_format="pyarrow"),
+        "w1", "c1", agg="sum").materialize()
 
     def tok_partial(t: pa.Table) -> pa.Table:
         _parent, vals = _flatten_tokens(t)

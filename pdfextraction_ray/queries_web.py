@@ -273,10 +273,23 @@ def dup_gram_membership_ds(docs: "rd.Dataset", broadcast_max: int):
                                   bloom_params)
     from .functions.joins import BucketedBuildSide, probe_membership
 
+    from .functions.joins import hash_groupby_sum
+
     partials = docs.map_batches(gram_doc_partial, batch_format="pyarrow")
-    counts = partials.groupby("gram").aggregate(Sum("n", alias_name="n"))
-    dup = counts.filter(expr="n >= 2").select_columns(["gram"]).materialize()
+    # explicit two-level hash reduce, NOT ds.groupby("gram"): Ray 2.49's
+    # sort aggregate runs ~100k rows/s on the gram stream (50 s at 5.5M
+    # grams) where the bucketed pyarrow reduce takes ~1 s — see
+    # functions/joins.hash_groupby_sum
+    dup = hash_groupby_sum(partials, "gram", "n", min_total=2) \
+        .select_columns(["gram"]).materialize()
     n_dup_grams = dup.count()
+
+    if n_dup_grams == 0:
+        # an all-unique corpus (possible after upstream near-dup removal):
+        # an empty dataset's to_pandas loses the column, so answer directly
+        def membership(hs: np.ndarray) -> np.ndarray:
+            return np.zeros(len(hs), dtype=bool)
+        return membership
 
     if n_dup_grams <= broadcast_max:
         # small regime: one sorted-u64 broadcast, searchsorted per batch
@@ -582,7 +595,7 @@ def _graph_buckets(n_rows: int) -> int:
 
 
 def q_pagerank(sf_dir: str) -> pa.Table:
-    from .functions.joins import bucketed_join
+    from .functions.joins import bucketed_join, hash_groupby_agg
 
     path = _p(sf_dir, "documents")
     n = pq.read_metadata(path).num_rows
@@ -638,8 +651,13 @@ def q_pagerank(sf_dir: str) -> pa.Table:
         src = edges if rank_ds is None else bucketed_join(
             edges, rank_ds, probe_key="src", build_key="doc_id",
             value_cols=["r"], n_buckets=n_buckets, join_type="left")
-        agg = src.map_batches(contrib, batch_format="pyarrow") \
-            .groupby("dst").aggregate(Sum("m", alias_name="m"))
+        # two-level hash reduce (joins.hash_groupby_agg) instead of the
+        # sort aggregate; float summation order changes (fold order vs
+        # sort order) shift ranks by last-ulp amounts only, far inside
+        # the 3-decimal ppm rounding
+        agg = hash_groupby_agg(
+            src.map_batches(contrib, batch_format="pyarrow"),
+            "dst", "m", agg="sum", n_buckets=n_buckets)
         rank_ds = agg.map_batches(next_rank,
                                   batch_format="pyarrow").materialize()
         default_r = base  # absent node = zero in-link mass from now on
@@ -736,7 +754,7 @@ def _block_edges(t: pa.Table, n: int) -> tuple:
 
 
 def q_connected_components(sf_dir: str) -> pa.Table:
-    from .functions.joins import bucketed_join
+    from .functions.joins import bucketed_join, hash_groupby_agg
 
     path = _p(sf_dir, "documents")
     n = pq.read_metadata(path).num_rows
@@ -792,8 +810,10 @@ def q_connected_components(sf_dir: str) -> pa.Table:
                                build_key="node", value_cols=["l"],
                                n_buckets=n_buckets, join_type="left") \
             .map_batches(offer_min, batch_format="pyarrow")
-        label_ds = offers.groupby("node") \
-            .aggregate(Min("l", alias_name="l")).materialize()
+        # two-level hash reduce, not ds.groupby(): Ray's sort aggregate is
+        # the round's dominant cost at ~100k rows/s (joins.hash_groupby_agg)
+        label_ds = hash_groupby_agg(offers, "node", "l", agg="min",
+                                    n_buckets=n_buckets).materialize()
         s = label_ds.sum("l")
         if s == prev_sum:  # fixed point: rounds R..10 no-op
             break

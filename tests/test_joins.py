@@ -201,3 +201,78 @@ def test_int_keys_membership_both_regimes(ray_session):
     empty = rd.from_arrow(pa.table({"k": pa.array([], pa.int64())}))
     m_e = int_keys_membership(empty, "k")
     assert not m_e(probes).any()
+
+
+def test_hash_groupby_sum_matches_ray_groupby(ray_session):
+    """Differential: the explicit two-level hash reduce returns exactly
+    Ray's groupby().sum() rows, plus the min_total filter semantics."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from pdfextraction_ray.functions.joins import hash_groupby_sum
+
+    rng = np.random.default_rng(7)
+    keys = rng.integers(0, 500, size=20_000, dtype=np.int64)
+    vals = rng.integers(1, 5, size=20_000, dtype=np.int64)
+    t = pa.table({"k": pa.array(keys), "n": pa.array(vals)})
+    ds = rd.from_arrow(t).repartition(8)
+
+    got = hash_groupby_sum(ds, "k", "n").to_pandas() \
+        .sort_values("k").reset_index(drop=True)
+    want = ds.groupby("k").sum("n").to_pandas() \
+        .rename(columns={"sum(n)": "n"}).sort_values("k") \
+        .reset_index(drop=True)
+    assert got.k.tolist() == want.k.tolist()
+    assert got.n.tolist() == want.n.tolist()
+
+    thr = int(np.median(want.n))
+    got_f = hash_groupby_sum(ds, "k", "n", min_total=thr).to_pandas()
+    assert sorted(got_f.k) == sorted(want[want.n >= thr].k)
+
+    empty = rd.from_arrow(pa.table({"k": pa.array([], pa.int64()),
+                                    "n": pa.array([], pa.int64())}))
+    assert hash_groupby_sum(empty, "k", "n").count() == 0
+
+
+def test_hash_group_apply_matches_map_groups(ray_session):
+    """Differential vs groupby().map_groups() on a composite key,
+    including groups that span input blocks and an empty-result fn."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from pdfextraction_ray.functions.joins import hash_group_apply
+
+    rng = np.random.default_rng(11)
+    n = 5000
+    t = pa.table({
+        "a": pa.array(rng.integers(0, 40, n, dtype=np.int64)),
+        "b": pa.array(rng.integers(0, 5, n, dtype=np.int64)),
+        "v": pa.array(rng.integers(0, 100, n, dtype=np.int64))})
+    ds = rd.from_arrow(t).repartition(16)
+
+    def summarize(g: pa.Table) -> pa.Table:
+        return pa.table({
+            "a": g.column("a").slice(0, 1),
+            "b": g.column("b").slice(0, 1),
+            "total": pa.array([int(np.sum(
+                g.column("v").to_numpy(zero_copy_only=False)))], pa.int64()),
+            "rows": pa.array([g.num_rows], pa.int64())})
+
+    schema = pa.schema([("a", pa.int64()), ("b", pa.int64()),
+                        ("total", pa.int64()), ("rows", pa.int64())])
+    got = hash_group_apply(ds, ["a", "b"], summarize, n_buckets=8,
+                           out_schema=schema).to_pandas() \
+        .sort_values(["a", "b"]).reset_index(drop=True)
+    want = ds.groupby(["a", "b"]).map_groups(
+        summarize, batch_format="pyarrow").to_pandas() \
+        .sort_values(["a", "b"]).reset_index(drop=True)
+    assert got.equals(want)
+
+    # fn returning empty tables for every group -> typed empty result
+    def nothing(g: pa.Table) -> pa.Table:
+        return schema.empty_table()
+    out = hash_group_apply(ds, ["a", "b"], nothing, n_buckets=4,
+                           out_schema=schema)
+    assert out.count() == 0

@@ -39,6 +39,7 @@ GOLDEN_QUERIES = [
     "value_percentiles_hist",
     "video_features",
     "vision_layout_ab",
+    "curation_e2e",
 ]
 
 OUT_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
