@@ -234,14 +234,25 @@ def bucketed_join(probe_ds, build_table, *, probe_key: str,
     The probe side never shuffles; each worker pulls only the build buckets
     its batches reference. Task form (not an actor pool) so it composes with
     reserving operators in the same plan (see pipelines/runner.py note).
+
+    ``n_buckets`` is a CEILING: the effective bucket count collapses so a
+    bucket holds >= ~25k rows (floor 1) — splitting a 1k-row model across
+    64 buckets just multiplies the per-batch fetch + ``index_in`` calls
+    with no memory benefit, while the asymptotic behavior (wide build
+    sides stay wide) is unchanged.
     """
     if join_type not in ("left", "inner"):
         raise ValueError(f"join_type must be 'left' or 'inner', got {join_type!r}")
     if isinstance(build_table, pa.Table):
         build_schema = build_table.schema
+        n_buckets = int(max(1, min(n_buckets,
+                                   build_table.num_rows // 25_000 + 1)))
         side = BucketedBuildSide(build_table, build_key, n_buckets)
     else:
         build_schema = build_table.schema().base_schema
+        build_table = build_table.materialize()
+        n_buckets = int(max(1, min(n_buckets,
+                                   build_table.count() // 25_000 + 1)))
         side = BucketedBuildSide.from_dataset(build_table, build_key,
                                               n_buckets, schema=build_schema)
     if value_cols is None:
@@ -324,23 +335,60 @@ def int_keys_membership(keys_ds, key_col: str,
 
 
 @ray.remote
-def _agg_reduce_bucket(key_cols, n_col: str, agg: str, min_total, schema,
+def _agg_reduce_bucket(key_cols, aggs, min_total, schema,
                        *pieces: pa.Table) -> pa.Table:
     """Reduce one hash bucket: fold the per-block pieces in slabs of 64 so
     peak memory is bounded by slab x piece size plus the (shrinking)
     accumulator, not the whole bucket's raw rows (sum/min/max are all
-    associative, so folding partial aggregates is exact)."""
+    associative, so folding partial aggregates is exact). ``aggs`` is a
+    list of (value_col, agg_name); ``min_total`` filters on the FIRST
+    aggregate column."""
     acc = schema.empty_table()
+    val_cols = [c for c, _ in aggs]
     for i in range(0, len(pieces), 64):
         slab = [acc] + [p for p in pieces[i:i + 64] if p.num_rows > 0]
         t = pa.concat_tables(slab)
-        acc = t.group_by(list(key_cols)).aggregate([(n_col, agg)]) \
-            .select(list(key_cols) + [f"{n_col}_{agg}"]) \
-            .rename_columns(list(key_cols) + [n_col])
+        acc = t.group_by(list(key_cols)).aggregate(list(aggs)) \
+            .select(list(key_cols) + [f"{c}_{a}" for c, a in aggs]) \
+            .rename_columns(list(key_cols) + val_cols)
     if min_total is not None:
-        acc = acc.filter(pc.greater_equal(acc.column(n_col),
+        acc = acc.filter(pc.greater_equal(acc.column(val_cols[0]),
                                           pa.scalar(min_total)))
     return acc.combine_chunks()
+
+
+def hash_groupby_multi(ds, key_cols, aggs, *,
+                       min_total=None, n_buckets: Optional[int] = None):
+    """Multi-aggregate form of ``hash_groupby_agg``: ``aggs`` is a list of
+    (value_col, agg_name) pairs, each an associative pyarrow aggregate
+    ("sum"/"min"/"max"); output columns keep the value-column names.
+    ``min_total`` filters on the first aggregate's result."""
+    import ray.data as rd
+
+    if isinstance(key_cols, str):
+        key_cols = [key_cols]
+    key_cols = list(key_cols)
+    aggs = [tuple(a) for a in aggs]
+    val_cols = [c for c, _ in aggs]
+    ds = ds.select_columns(key_cols + val_cols).materialize()
+    base = ds.schema().base_schema
+    schema = pa.schema([(c, base.field(c).type) for c in key_cols]
+                       + [(c, base.field(c).type) for c in val_cols])
+    n_rows = ds.count()
+    if n_buckets is None:
+        n_buckets = int(max(8, min(4096, n_rows // 250_000 + 8)))
+    block_refs = ds.to_arrow_refs()
+    if not block_refs or n_rows == 0:
+        return rd.from_arrow(schema.empty_table())
+    outs = []
+    for r in block_refs:
+        out = _split_block_by_composite.options(
+            num_returns=n_buckets).remote(r, key_cols, n_buckets, schema)
+        outs.append([out] if n_buckets == 1 else out)
+    refs = [_agg_reduce_bucket.remote(key_cols, aggs, min_total,
+                                      schema, *[o[b] for o in outs])
+            for b in range(n_buckets)]
+    return rd.from_arrow_refs(refs)
 
 
 def hash_groupby_agg(ds, key_cols, n_col: str, *, agg: str = "sum",
@@ -365,30 +413,8 @@ def hash_groupby_agg(ds, key_cols, n_col: str, *, agg: str = "sum",
     ``ds`` is materialized (the map side needs its block refs) — same
     contract as ``BucketedBuildSide.from_dataset``. Deterministic output
     content; row order within blocks is not."""
-    import ray.data as rd
-
-    if isinstance(key_cols, str):
-        key_cols = [key_cols]
-    key_cols = list(key_cols)
-    ds = ds.select_columns(key_cols + [n_col]).materialize()
-    base = ds.schema().base_schema
-    schema = pa.schema([(c, base.field(c).type) for c in key_cols]
-                       + [(n_col, base.field(n_col).type)])
-    n_rows = ds.count()
-    if n_buckets is None:
-        n_buckets = int(max(8, min(4096, n_rows // 250_000 + 8)))
-    block_refs = ds.to_arrow_refs()
-    if not block_refs or n_rows == 0:
-        return rd.from_arrow(schema.empty_table())
-    outs = []
-    for r in block_refs:
-        out = _split_block_by_composite.options(
-            num_returns=n_buckets).remote(r, key_cols, n_buckets, schema)
-        outs.append([out] if n_buckets == 1 else out)
-    refs = [_agg_reduce_bucket.remote(key_cols, n_col, agg, min_total,
-                                      schema, *[o[b] for o in outs])
-            for b in range(n_buckets)]
-    return rd.from_arrow_refs(refs)
+    return hash_groupby_multi(ds, key_cols, [(n_col, agg)],
+                              min_total=min_total, n_buckets=n_buckets)
 
 
 def hash_groupby_sum(ds, key_col, n_col: str, *,

@@ -126,10 +126,13 @@ def q_bigram_perplexity(sf_dir: str) -> pa.Table:
 
     def tok_partial(t: pa.Table) -> pa.Table:
         _parent, vals = _flatten_tokens(t)
-        return pa.table({"token": pa.array(np.unique(vals))})
+        u = np.unique(vals)
+        return pa.table({"token": pa.array(u),
+                         "one": pa.array(np.ones(len(u), np.int64))})
 
-    n_vocab = docs.map_batches(tok_partial, batch_format="pyarrow") \
-        .groupby("token").count().count()
+    n_vocab = hash_groupby_agg(
+        docs.map_batches(tok_partial, batch_format="pyarrow"),
+        "token", "one", agg="min").count()
 
     # -- stage 2: score. Docs explode to pairs; the model attaches via the
     # bucketed map-side join (no shuffle of the pair stream; build sides
@@ -163,10 +166,10 @@ def q_bigram_perplexity(sf_dir: str) -> pa.Table:
             "n_bigrams": pa.array(np.bincount(codes, minlength=len(uniq))
                                   .astype(np.int64))})
 
-    agg = scored.map_batches(lp_partial, batch_format="pyarrow") \
-        .groupby("doc_id").aggregate(Sum("s", alias_name="s"),
-                                     Sum("n_bigrams",
-                                         alias_name="n_bigrams"))
+    from .functions.joins import hash_groupby_multi
+    agg = hash_groupby_multi(
+        scored.map_batches(lp_partial, batch_format="pyarrow"),
+        "doc_id", [("s", "sum"), ("n_bigrams", "sum")])
 
     @guard_empty(pa.schema([("doc_id", pa.int64()),
                             ("n_bigrams", pa.int64()),
