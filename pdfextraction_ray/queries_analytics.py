@@ -22,6 +22,9 @@ import ray
 import ray.data as rd
 from ray.data.aggregate import Sum
 
+from .functions.joins import (hash_group_apply, hash_groupby_agg,
+                              hash_groupby_multi)
+
 from .queries_curation import (_flatten_tokens, _roundf, _splitmix64,
                                guard_empty)
 
@@ -53,11 +56,10 @@ def q_zscore_events(sf_dir: str) -> pa.Table:
                          "s": pa.array(s, pa.float64()),
                          "ss": pa.array(ss, pa.float64())})
 
-    agg = rd.read_parquet(path, columns=["event_type", "value"]) \
-        .map_batches(moments, batch_format="pyarrow") \
-        .groupby("event_type").aggregate(Sum("n", alias_name="n"),
-                                         Sum("s", alias_name="s"),
-                                         Sum("ss", alias_name="ss"))
+    agg = hash_groupby_multi(
+        rd.read_parquet(path, columns=["event_type", "value"])
+        .map_batches(moments, batch_format="pyarrow"),
+        "event_type", [("n", "sum"), ("s", "sum"), ("ss", "sum")])
     stats = pa.Table.from_pandas(agg.to_pandas(), preserve_index=False)
     mean = {}
     std = {}
@@ -147,8 +149,12 @@ def q_top3_events_per_user(sf_dir: str) -> pa.Table:
         return out.append_column(
             "rnk", pa.array(np.arange(1, len(keep) + 1, dtype=np.int64)))
 
-    out = ds.map_batches(partial, batch_format="pyarrow") \
-        .groupby("user_id").map_groups(final, batch_format="pyarrow")
+    out = hash_group_apply(
+        ds.map_batches(partial, batch_format="pyarrow"), ["user_id"], final,
+        out_schema=pa.schema([("user_id", pa.int64()),
+                              ("event_id", pa.int64()),
+                              ("value", pa.float64()),
+                              ("rnk", pa.int64())]))
     t = pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
     t = t.sort_by([("user_id", "ascending"), ("rnk", "ascending")])
     return t.select(["user_id", "rnk", "event_id", "value"])
@@ -214,9 +220,10 @@ def _cms_partial(t: pa.Table) -> pa.Table:
 
 def q_heavy_hitter_terms(sf_dir: str) -> pa.Table:
     path = _p(sf_dir, "documents")
-    merged = rd.read_parquet(path, columns=["text"]) \
-        .map_batches(_cms_partial, batch_format="pyarrow") \
-        .groupby(["d", "w"]).aggregate(Sum("cnt", alias_name="cnt"))
+    merged = hash_groupby_agg(
+        rd.read_parquet(path, columns=["text"])
+        .map_batches(_cms_partial, batch_format="pyarrow"),
+        ["d", "w"], "cnt", agg="sum")
     cells = pa.Table.from_pandas(merged.to_pandas(), preserve_index=False)
     d = cells.column("d").to_numpy()
     w = cells.column("w").to_numpy()
@@ -245,9 +252,10 @@ def q_heavy_hitter_terms(sf_dir: str) -> pa.Table:
         return pa.table({"token": pa.array(uniques[keep], pa.string()),
                          "n": pa.array(counts[keep], pa.int64())})
 
-    agg = rd.read_parquet(path, columns=["text"]) \
-        .map_batches(candidates, batch_format="pyarrow") \
-        .groupby("token").aggregate(Sum("n", alias_name="n"))
+    agg = hash_groupby_agg(
+        rd.read_parquet(path, columns=["text"])
+        .map_batches(candidates, batch_format="pyarrow"),
+        "token", "n", agg="sum")
     t = pa.Table.from_pandas(agg.to_pandas(), preserve_index=False)
     t = t.filter(pc.greater_equal(t["n"], threshold))
     return t.sort_by([("n", "descending"), ("token", "ascending")])
@@ -299,8 +307,10 @@ def q_inverted_index(sf_dir: str) -> pa.Table:
             "df": pa.array([len(ids)], pa.int64()),
             "postings": pa.array([",".join(str(i) for i in ids)])})
 
-    out = ds.map_batches(pairs, batch_format="pyarrow") \
-        .groupby("token").map_groups(postings, batch_format="pyarrow")
+    out = hash_group_apply(
+        ds.map_batches(pairs, batch_format="pyarrow"), ["token"], postings,
+        out_schema=pa.schema([("token", pa.string()), ("df", pa.int64()),
+                              ("postings", pa.string())]))
     t = pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
     return t.sort_by([("token", "ascending")])
 
@@ -346,10 +356,9 @@ def q_user_event_set_ops(sf_dir: str) -> pa.Table:
                          "has_a": pa.array(has_a.astype(np.int64)),
                          "has_b": pa.array(has_b.astype(np.int64))})
 
-    from ray.data.aggregate import Max
-    flags = ds.map_batches(partial, batch_format="pyarrow") \
-        .groupby("user_id").aggregate(Max("has_a", alias_name="has_a"),
-                                      Max("has_b", alias_name="has_b"))
+    flags = hash_groupby_multi(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        "user_id", [("has_a", "max"), ("has_b", "max")])
 
     @guard_empty(pa.schema([("n_intersect", pa.int64()),
                             ("n_a_except_b", pa.int64()),

@@ -87,7 +87,13 @@ def q_value_change_counts(sf_dir: str) -> pa.Table:
             "n_events": pa.array(n_events, pa.int64()),
             "n_changes": pa.array(n_changes, pa.int64())})
 
-    out = ds.groupby("user_id").map_groups(changes, batch_format="pyarrow")
+    from .functions.joins import hash_group_apply
+    out = hash_group_apply(
+        ds, ["user_id"], changes,
+        out_schema=pa.schema([("user_id", pa.int64()),
+                              ("event_type", pa.string()),
+                              ("n_events", pa.int64()),
+                              ("n_changes", pa.int64())]))
     t = pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
     return t.sort_by([("user_id", "ascending"), ("event_type", "ascending")])
 
@@ -883,10 +889,10 @@ def q_value_percentiles_hist(sf_dir: str) -> pa.Table:
         g = g.select(["event_type", "value_min", "value_max"])
         return g.rename_columns(["event_type", "lo", "hi"])
 
-    from ray.data.aggregate import Max as _Max
-    mm = ds.map_batches(minmax_partial, batch_format="pyarrow") \
-        .groupby("event_type").aggregate(Min("lo", alias_name="lo"),
-                                         _Max("hi", alias_name="hi"))
+    from .functions.joins import hash_groupby_agg, hash_groupby_multi
+    mm = hash_groupby_multi(
+        ds.map_batches(minmax_partial, batch_format="pyarrow"),
+        "event_type", [("lo", "min"), ("hi", "max")])
     mm_t = pa.Table.from_pandas(mm.to_pandas(), preserve_index=False) \
         .sort_by([("event_type", "ascending")])
     types = mm_t.column("event_type").to_pylist()
@@ -911,8 +917,9 @@ def q_value_percentiles_hist(sf_dir: str) -> pa.Table:
             "key": pa.array(nz, pa.int64()),
             "n": pa.array(cnt[nz], pa.int64())})
 
-    agg = ds.map_batches(hist_partial, batch_format="pyarrow") \
-        .groupby("key").aggregate(Sum("n", alias_name="n"))
+    agg = hash_groupby_agg(
+        ds.map_batches(hist_partial, batch_format="pyarrow"),
+        "key", "n", agg="sum")
     at = pa.Table.from_pandas(agg.to_pandas(), preserve_index=False)
     key = at.column("key").to_numpy(zero_copy_only=False)
     cnt = at.column("n").to_numpy(zero_copy_only=False)
@@ -984,7 +991,12 @@ def q_rolling_event_stats(sf_dir: str) -> pa.Table:
             "user_id": pa.array(np.full(n, uid), pa.int64()),
             "roll_mean": rm})
 
-    out = ds.groupby("user_id").map_groups(roll, batch_format="pyarrow")
+    from .functions.joins import hash_group_apply
+    out = hash_group_apply(
+        ds, ["user_id"], roll,
+        out_schema=pa.schema([("event_id", pa.int64()),
+                              ("user_id", pa.int64()),
+                              ("roll_mean", pa.float32())]))
     t = pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
     return t.sort_by([("event_id", "ascending")])
 
@@ -1078,9 +1090,10 @@ def q_event_type_pivot(sf_dir: str) -> pa.Table:
             cols[f"n_{ty}"] = pa.array(counts[:, i], pa.int64())
         return pa.Table.from_pydict(cols)
 
-    aggs = [Sum(f"n_{ty}", alias_name=f"n_{ty}") for ty in _PIVOT_TYPES]
-    out = ds.map_batches(partial, batch_format="pyarrow") \
-        .groupby("user_id").aggregate(*aggs)
+    from .functions.joins import hash_groupby_multi
+    out = hash_groupby_multi(
+        ds.map_batches(partial, batch_format="pyarrow"), "user_id",
+        [(f"n_{ty}", "sum") for ty in _PIVOT_TYPES])
     t = pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
     return t.sort_by([("user_id", "ascending")])
 
@@ -1132,10 +1145,10 @@ def q_customer_event_full_outer(sf_dir: str) -> pa.Table:
     cu = rd.read_parquet(_p(sf_dir, "customer"),
                          columns=["c_custkey", "c_acctbal"]) \
         .map_batches(cust_rows, batch_format="pyarrow")
+    from .functions.joins import hash_groupby_multi
     both = ev.map_batches(ev_partial, batch_format="pyarrow").union(cu)
-    out = both.groupby("key").aggregate(
-        Sum("n_events", alias_name="n_events"),
-        _Max("acctbal", alias_name="acctbal"))
+    out = hash_groupby_multi(both, "key", [("n_events", "sum"),
+                                           ("acctbal", "max")])
 
     @guard_empty(pa.schema([("key", pa.int64()), ("n_events", pa.int64()),
                             ("acctbal", pa.float32())]))
@@ -1377,14 +1390,10 @@ def q_value_quartile_buckets(sf_dir: str) -> pa.Table:
             "bucket": pa.array(nz % 4 + 1, pa.int64()),
             "n": pa.array(cnt[nz], pa.int64())})
 
-    def merge(g: pa.Table) -> pa.Table:
-        a = g.group_by(["event_type", "bucket"]).aggregate([("n", "sum")])
-        # name-addressed select: pyarrow key/agg column order varies by release
-        return a.select(["event_type", "bucket", "n_sum"]) \
-            .rename_columns(["event_type", "bucket", "n"])
-
-    out = ds.map_batches(bucket_partial, batch_format="pyarrow") \
-        .groupby("event_type").map_groups(merge, batch_format="pyarrow")
+    from .functions.joins import hash_groupby_agg
+    out = hash_groupby_agg(
+        ds.map_batches(bucket_partial, batch_format="pyarrow"),
+        ["event_type", "bucket"], "n", agg="sum")
     t = pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
     return t.sort_by([("event_type", "ascending"), ("bucket", "ascending")])
 
