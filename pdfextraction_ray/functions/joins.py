@@ -526,3 +526,40 @@ def hash_group_apply(ds, key_cols: Sequence[str], fn, *,
                                         *[o[b] for o in outs])
             for b in range(n_buckets)]
     return rd.from_arrow_refs(refs)
+
+
+def hash_groupby_table(ds, key_cols, aggs, *, count_col: Optional[str] = None,
+                       min_total=None, n_buckets: Optional[int] = None):
+    """Combiner + hash reduce: a per-block pyarrow ``group_by`` partial
+    (map-side combine — the shuffle moves one row per distinct key per
+    block, not one per input row) followed by ``hash_groupby_multi`` on
+    the partials. ``aggs``: list of (col, "sum"|"min"|"max"); output
+    columns keep the input names. ``count_col`` adds a row count per group
+    (partial ``count_all`` + reduce sum) — the Count() analogue.
+    ``min_total`` filters on the first agg column (or the count when no
+    aggs)."""
+    if isinstance(key_cols, str):
+        key_cols = [key_cols]
+    key_cols = list(key_cols)
+    aggs = [tuple(a) for a in aggs]
+    val_cols = [c for c, _ in aggs]
+    out_cols = list(key_cols) + val_cols + ([count_col] if count_col else [])
+
+    plan = [(c, a) for c, a in aggs]
+    if count_col:
+        plan.append(([], "count_all"))
+    plan_names = [f"{c}_{a}" for c, a in aggs] \
+        + (["count_all"] if count_col else [])
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.group_by(key_cols).aggregate(plan)
+        g = g.select(key_cols + plan_names)
+        return g.rename_columns(out_cols)
+
+    reduce_aggs = [(c, a if a in ("min", "max") else "sum")
+                   for c, a in aggs] \
+        + ([(count_col, "sum")] if count_col else [])
+    return hash_groupby_multi(ds.map_batches(partial,
+                                             batch_format="pyarrow"),
+                              key_cols, reduce_aggs,
+                              min_total=min_total, n_buckets=n_buckets)

@@ -45,7 +45,12 @@ def curate_documents(ds: "Any", *, min_tokens: int = 50) -> "Any":
         idx = pc.sort_indices(g, sort_keys=[("doc_id", "ascending")])
         return g.take(idx[:1])
 
+    from ..functions.joins import hash_group_apply
     scored = ds.map_batches(score_and_hash, batch_format="pyarrow")
-    return scored.groupby("text_hash").map_groups(
-        first_per_hash, batch_format="pyarrow") \
+    return hash_group_apply(
+        scored, ["text_hash"], first_per_hash,
+        out_schema=pa.schema([("doc_id", pa.int64()),
+                              ("n_tokens", pa.int64()),
+                              ("pred_lang", pa.string()),
+                              ("text_hash", pa.string())]))\
         .select_columns(["doc_id", "n_tokens", "pred_lang"])

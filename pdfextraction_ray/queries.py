@@ -105,19 +105,52 @@ def _q1_partial(batch: pa.Table) -> pa.Table:
     return g.rename_columns(_Q1_PARTIAL_COLS)
 
 
+def _grouped_rollup(ds, keys, out_spec):
+    """Count/Sum/Min/Max grouped rollup on the combiner + hash-reduce path
+    (functions/joins.hash_groupby_table) — drop-in for the
+    ``ds.groupby(keys).aggregate(Count(...), Sum(...))`` pattern, which
+    pays Ray 2.49's ~100k rows/s sort aggregate. ``out_spec`` is the
+    ordered output columns after the keys: ("count", alias) or
+    (agg, col, alias) with agg in sum/min/max. Returns a Dataset whose
+    columns are keys + aliases in spec order."""
+    from .functions.joins import hash_groupby_table
+
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    aggs, count_name = [], None
+    for spec in out_spec:
+        if spec[0] == "count":
+            count_name = spec[1]
+        else:
+            aggs.append((spec[1], spec[0]))
+    out = hash_groupby_table(ds, keys, aggs, count_col=count_name)
+
+    names = keys + [s[1] if s[0] == "count" else s[2] for s in out_spec]
+
+    def fix(t: pa.Table) -> pa.Table:
+        cols = {k: t.column(k) for k in keys}
+        for s in out_spec:
+            if s[0] == "count":
+                cols[s[1]] = t.column(s[1])
+            else:
+                cols[s[2]] = t.column(s[1])
+        return pa.table({n: cols[n] for n in names})
+
+    return out.map_batches(fix, batch_format="pyarrow")
+
+
 def q_pricing_summary(sf_dir: str) -> pa.Table:
     ds = rd.read_parquet(
         _p(sf_dir, "lineitem"),
         columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice",
                  "l_discount", "l_tax", "l_shipdate"])
     partial = ds.map_batches(_q1_partial, batch_format="pyarrow", batch_size=65536)
-    agg = partial.groupby(["l_returnflag", "l_linestatus"]).aggregate(
-        Sum("sum_qty", alias_name="sum_qty"),
-        Sum("sum_base_price", alias_name="sum_base_price"),
-        Sum("sum_disc_price", alias_name="sum_disc_price"),
-        Sum("sum_charge", alias_name="sum_charge"),
-        Sum("sum_disc", alias_name="sum_disc"),
-        Sum("n", alias_name="count_order"))
+    agg = _grouped_rollup(partial, ["l_returnflag", "l_linestatus"],
+                          [("sum", "sum_qty", "sum_qty"),
+                           ("sum", "sum_base_price", "sum_base_price"),
+                           ("sum", "sum_disc_price", "sum_disc_price"),
+                           ("sum", "sum_charge", "sum_charge"),
+                           ("sum", "sum_disc", "sum_disc"),
+                           ("sum", "n", "count_order")])
     t = pa.Table.from_pandas(agg.to_pandas(), preserve_index=False)
     n = pc.cast(t.column("count_order"), pa.float64())
     t = t.append_column("avg_qty", pc.divide(t.column("sum_qty"), n))
@@ -176,11 +209,12 @@ def q_events_by_type(sf_dir: str) -> pa.Table:
     is scanned once, not twice."""
     ds = rd.read_parquet(_p(sf_dir, "events"),
                          columns=["event_type", "user_id", "value"])
-    per_user = ds.groupby(["event_type", "user_id"]).aggregate(
-        Count(alias_name="_n"), Sum("value", alias_name="_v"))
-    rolled = per_user.groupby("event_type").aggregate(
-        Sum("_n", alias_name="n_events"), Sum("_v", alias_name="total_value"),
-        Count(alias_name="n_users"))
+    per_user = _grouped_rollup(ds, ["event_type", "user_id"],
+                               [("count", "_n"), ("sum", "value", "_v")])
+    rolled = _grouped_rollup(per_user, "event_type",
+                             [("sum", "_n", "n_events"),
+                              ("sum", "_v", "total_value"),
+                              ("count", "n_users")])
     t = pa.Table.from_pandas(rolled.to_pandas(), preserve_index=False)
     for c in ("n_events", "n_users"):
         t = t.set_column(t.schema.get_field_index(c), c,
@@ -208,8 +242,9 @@ def q_events_window(sf_dir: str) -> pa.Table:
         _p(sf_dir, "events"), columns=["event_type", "ts", "value"],
         filter=(pc.field("ts") >= pc.scalar(lo))
         & (pc.field("ts") < pc.scalar(hi)))
-    agg = ds.groupby("event_type").aggregate(
-        Count(alias_name="n_events"), Sum("value", alias_name="total_value"))
+    agg = _grouped_rollup(ds, "event_type",
+                          [("count", "n_events"),
+                           ("sum", "value", "total_value")])
     t = pa.Table.from_pandas(agg.to_pandas(), preserve_index=False)
     return _round4(t, ["total_value"]).sort_by("event_type")
 
@@ -237,8 +272,9 @@ def q_user_hourly_windows(sf_dir: str) -> pa.Table:
 
     ds = rd.read_parquet(_p(sf_dir, "events"), columns=["user_id", "ts", "value"])
     ds = ds.map_batches(add_window, batch_format="pyarrow")
-    agg = ds.groupby(["user_id", "window_id"]).aggregate(
-        Count(alias_name="n_events"), Sum("value", alias_name="sum_value"))
+    agg = _grouped_rollup(ds, ["user_id", "window_id"],
+                          [("count", "n_events"),
+                           ("sum", "value", "sum_value")])
     t = pa.Table.from_pandas(agg.to_pandas(), preserve_index=False)
     return _round4(t, ["sum_value"]).sort_by([("user_id", "ascending"),
                                               ("window_id", "ascending")])
@@ -274,7 +310,12 @@ def q_merge_longest_wins(sf_dir: str) -> pa.Table:
             "max_len": pa.array([max_len.as_py()], pa.int64()),
             "best_doc_id": pa.array([best.as_py()], pa.int64())})
 
-    out = ds.groupby(["lang", "source"]).map_groups(pick, batch_format="pyarrow")
+    from .functions.joins import hash_group_apply
+    out = hash_group_apply(
+        ds, ["lang", "source"], pick,
+        out_schema=pa.schema([("lang", pa.string()), ("source", pa.string()),
+                              ("max_len", pa.int64()),
+                              ("best_doc_id", pa.int64())]))
     return pa.Table.from_pandas(out.to_pandas(), preserve_index=False) \
         .sort_by([("lang", "ascending"), ("source", "ascending")])
 
@@ -352,8 +393,9 @@ def q_customer_nation_balance(sf_dir: str) -> pa.Table:
                                                "key_col": "c_nationkey",
                                                "out_col": "n_name"},
                         batch_format="pyarrow", concurrency=(1, 4))
-    agg = ds.groupby("n_name").aggregate(
-        Count(alias_name="n_customers"), Sum("c_acctbal", alias_name="total_acctbal"))
+    agg = _grouped_rollup(ds, "n_name",
+                          [("count", "n_customers"),
+                           ("sum", "c_acctbal", "total_acctbal")])
     t = pa.Table.from_pandas(agg.to_pandas(), preserve_index=False)
     return _round4(t, ["total_acctbal"]).sort_by("n_name")
 
@@ -376,8 +418,9 @@ def q_supplier_volume(sf_dir: str) -> pa.Table:
                                                "key_col": "l_suppkey",
                                                "out_col": "s_name"},
                         batch_format="pyarrow", concurrency=(1, 4))
-    agg = ds.groupby("s_name").aggregate(
-        Count(alias_name="n_items"), Sum("l_quantity", alias_name="sum_qty"))
+    agg = _grouped_rollup(ds, "s_name",
+                          [("count", "n_items"),
+                           ("sum", "l_quantity", "sum_qty")])
     t = pa.Table.from_pandas(agg.to_pandas(), preserve_index=False)
     return _round4(t, ["sum_qty"]).sort_by("s_name")
 
@@ -406,9 +449,9 @@ def q_lineitem_semi_join(sf_dir: str) -> pa.Table:
 
     ds = rd.read_parquet(_p(sf_dir, "lineitem"),
                          columns=["l_orderkey", "l_returnflag", "l_quantity"])
-    agg = ds.map_batches(semi, batch_format="pyarrow") \
-        .groupby("l_returnflag").aggregate(
-            Count(alias_name="n_items"), Sum("l_quantity", alias_name="sum_qty"))
+    agg = _grouped_rollup(
+        ds.map_batches(semi, batch_format="pyarrow"), "l_returnflag",
+        [("count", "n_items"), ("sum", "l_quantity", "sum_qty")])
     t = pa.Table.from_pandas(agg.to_pandas(), preserve_index=False)
     return _round4(t, ["sum_qty"]).sort_by("l_returnflag")
 
@@ -459,8 +502,9 @@ def q_orders_priority(sf_dir: str) -> pa.Table:
         _p(sf_dir, "orders"), columns=["o_orderpriority", "o_orderdate", "o_totalprice"],
         filter=(pc.field("o_orderdate") >= pc.scalar(pd.Timestamp("1996-01-01")))
         & (pc.field("o_orderdate") < pc.scalar(pd.Timestamp("1997-01-01"))))
-    agg = ds.groupby("o_orderpriority").aggregate(
-        Count(alias_name="n_orders"), Sum("o_totalprice", alias_name="sum_totalprice"))
+    agg = _grouped_rollup(ds, "o_orderpriority",
+                          [("count", "n_orders"),
+                           ("sum", "o_totalprice", "sum_totalprice")])
     t = pa.Table.from_pandas(agg.to_pandas(), preserve_index=False)
     return _round4(t, ["sum_totalprice"]).sort_by("o_orderpriority")
 
@@ -483,8 +527,9 @@ def q_part_brand_stats(sf_dir: str) -> pa.Table:
     ds = ds.map_batches(
         lambda t: t.filter(pc.match_substring(t["p_type"], "PROMO")),
         batch_format="pyarrow")
-    agg = ds.groupby("p_brand").aggregate(
-        Count(alias_name="n_parts"), Sum("p_retailprice", alias_name="sum_price"))
+    agg = _grouped_rollup(ds, "p_brand",
+                          [("count", "n_parts"),
+                           ("sum", "p_retailprice", "sum_price")])
     t = pa.Table.from_pandas(agg.to_pandas(), preserve_index=False)
     return _round4(t, ["sum_price"]).sort_by("p_brand")
 
@@ -568,8 +613,9 @@ def q_segment_revenue(sf_dir: str) -> pa.Table:
             num_partitions=_join_num_partitions(_p(sf_dir, "lineitem"),
                                                 _p(sf_dir, "orders")),
             on=("l_orderkey",), right_on=("o_orderkey",))
-    agg = joined.groupby("c_mktsegment").aggregate(
-        Count(alias_name="n_items"), Sum("revenue", alias_name="revenue"))
+    agg = _grouped_rollup(joined, "c_mktsegment",
+                          [("count", "n_items"),
+                           ("sum", "revenue", "revenue")])
     t = pa.Table.from_pandas(agg.to_pandas(), preserve_index=False)
     return _round4(t, ["revenue"]).sort_by("c_mktsegment")
 
@@ -646,8 +692,8 @@ def q_props_json_sum(sf_dir: str) -> pa.Table:
 
     ds = rd.read_parquet(_p(sf_dir, "events"), columns=["event_type", "props"])
     ds = ds.map_batches(parse_props, batch_format="pyarrow")
-    agg = ds.groupby("event_type").aggregate(
-        Count(alias_name="n_events"), Sum("k", alias_name="sum_k"))
+    agg = _grouped_rollup(ds, "event_type",
+                          [("count", "n_events"), ("sum", "k", "sum_k")])
     t = pa.Table.from_pandas(agg.to_pandas(), preserve_index=False)
     return t.sort_by("event_type")
 
@@ -672,9 +718,10 @@ def q_token_stats(sf_dir: str) -> pa.Table:
             "n_tokens", pc.cast(TX.token_counts(t["text"]), pa.int64()))
         .drop_columns(["text"]),
         batch_format="pyarrow")
-    agg = ds.groupby("lang").aggregate(
-        Count(alias_name="n_docs"), Sum("n_tokens", alias_name="sum_tokens"),
-        Sum("n_chars", alias_name="sum_chars"))
+    agg = _grouped_rollup(ds, "lang",
+                          [("count", "n_docs"),
+                           ("sum", "n_tokens", "sum_tokens"),
+                           ("sum", "n_chars", "sum_chars")])
     return pa.Table.from_pandas(agg.to_pandas(), preserve_index=False).sort_by("lang")
 
 
@@ -749,8 +796,9 @@ def q_exact_dedup(sf_dir: str) -> pa.Table:
     ds = rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
     ds = ds.map_batches(lambda t: D.md5_hex_batch(t).drop_columns(["text"]),
                         batch_format="pyarrow")
-    agg = ds.groupby("text_hash").aggregate(
-        Min("doc_id", alias_name="canonical_doc_id"), Count(alias_name="n_copies"))
+    agg = _grouped_rollup(ds, "text_hash",
+                          [("min", "doc_id", "canonical_doc_id"),
+                           ("count", "n_copies")])
     return pa.Table.from_pandas(agg.to_pandas(), preserve_index=False) \
         .sort_by("text_hash")
 
@@ -949,8 +997,10 @@ def q_embedding_near_dup_lsh(sf_dir: str, threshold: float = 0.4,
             "vec_a": pa.array(va, pa.int64()),
             "vec_b": pa.array(vb, pa.int64())})
 
-    out = exploded.groupby(["band", "bucket"]).map_groups(
-        score_bucket, batch_format="pyarrow")
+    from .functions.joins import hash_group_apply
+    out = hash_group_apply(
+        exploded, ["band", "bucket"], score_bucket, n_buckets=32,
+        out_schema=pa.schema([("vec_a", pa.int64()), ("vec_b", pa.int64())]))
     df = out.to_pandas()  # result-sized (<= n_bands x final pairs)
     if df.empty:
         return pa.Table.from_pydict({"vec_a": pa.array([], pa.int64()),
@@ -999,7 +1049,14 @@ def q_user_sessions(sf_dir: str, gap_minutes: int = 30) -> pa.Table:
             "sum_value": pa.array(np.add.reduceat(val, starts), pa.float64())})
 
     ds = rd.read_parquet(_p(sf_dir, "events"), columns=["user_id", "ts", "value"])
-    out = ds.groupby("user_id").map_groups(sessionize, batch_format="pyarrow")
+    from .functions.joins import hash_group_apply
+    out = hash_group_apply(
+        ds, ["user_id"], sessionize,
+        out_schema=pa.schema([("user_id", pa.int64()),
+                              ("session_start", pa.timestamp("us")),
+                              ("session_end", pa.timestamp("us")),
+                              ("n_events", pa.int64()),
+                              ("sum_value", pa.float64())]))
     t = pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
     return _round4(t, ["sum_value"]).sort_by([
         ("user_id", "ascending"), ("session_start", "ascending")])
@@ -1160,7 +1217,12 @@ def q_top_event_per_user(sf_dir: str) -> pa.Table:
                          columns=["user_id", "event_id", "value"])
     partial = ds.map_batches(_top1_partial, batch_format="pyarrow",
                              batch_size=65536)
-    out = partial.groupby("user_id").map_groups(top1, batch_format="pyarrow")
+    from .functions.joins import hash_group_apply
+    out = hash_group_apply(
+        partial, ["user_id"], top1,
+        out_schema=pa.schema([("user_id", pa.int64()),
+                              ("event_id", pa.int64()),
+                              ("value", pa.float64())]))
     return pa.Table.from_pandas(out.to_pandas(), preserve_index=False) \
         .sort_by("user_id")
 
@@ -1551,8 +1613,11 @@ def q_simhash_near_dup_pairs(sf_dir: str, max_hamming: int = 6,
             "doc_b": pa.array([r[1] for r in rows], pa.int64()),
             "hamming": pa.array([r[2] for r in rows], pa.int64())})
 
-    verified = members.groupby(["band", "bucket"]).map_groups(
-        pairgen_verify, batch_format="pyarrow")
+    from .functions.joins import hash_group_apply
+    verified = hash_group_apply(
+        members, ["band", "bucket"], pairgen_verify, n_buckets=32,
+        out_schema=pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64()),
+                              ("hamming", pa.int64())]))
     out = verified.to_pandas()  # result-sized (<= 4x final pairs)
     if out.empty:
         return pa.Table.from_pydict({"doc_a": pa.array([], pa.int64()),

@@ -21,6 +21,8 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray
 import ray.data as rd
+
+from .functions.joins import hash_group_apply, hash_groupby_multi
 from ray.data.aggregate import Max, Sum
 
 
@@ -188,9 +190,9 @@ def q_tfidf_terms(sf_dir: str, k: int = 50) -> pa.Table:
     path = _p(sf_dir, "documents")
     ds = rd.read_parquet(path, columns=["doc_id", "text"])
     n_docs = rd.read_parquet(path, columns=["doc_id"]).count()
-    agg = ds.map_batches(_tfidf_partial, batch_format="pyarrow") \
-        .groupby("token").aggregate(Sum("tf", alias_name="tf"),
-                                    Sum("df", alias_name="df"))
+    agg = hash_groupby_multi(
+        ds.map_batches(_tfidf_partial, batch_format="pyarrow"),
+        "token", [("tf", "sum"), ("df", "sum")])
     vocab = pa.Table.from_pandas(agg.to_pandas(), preserve_index=False)
     tf = vocab.column("tf").to_numpy()
     df = vocab.column("df").to_numpy()
@@ -250,9 +252,9 @@ def q_events_range_join(sf_dir: str) -> pa.Table:
                          "sum_value": pa.array(s[present])})
 
     ds = rd.read_parquet(_p(sf_dir, "events"), columns=["value"])
-    agg = ds.map_batches(partial, batch_format="pyarrow") \
-        .groupby("band").aggregate(Sum("n_events", alias_name="n_events"),
-                                   Sum("sum_value", alias_name="sum_value"))
+    agg = hash_groupby_multi(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        "band", [("n_events", "sum"), ("sum_value", "sum")])
     t = pa.Table.from_pandas(agg.to_pandas(), preserve_index=False)
     t = _roundf(t, ["sum_value"], ndigits=2)
     return t.sort_by([("band", "ascending")])
@@ -451,9 +453,13 @@ def q_semantic_dedup(sf_dir: str, k: int = KMEANS_K,
             "keep": pa.array(keep.astype(np.int32)),
             "max_sim_kept": pa.array(max_sim)})
 
-    out = ds.map_batches(assign, batch_format="pyarrow") \
-        .groupby("cluster") \
-        .map_groups(dedup_group, batch_format="pyarrow")
+    out = hash_group_apply(
+        ds.map_batches(assign, batch_format="pyarrow"), ["cluster"],
+        dedup_group,
+        out_schema=pa.schema([("vec_id", pa.int64()),
+                              ("cluster", pa.int64()),
+                              ("keep", pa.int32()),
+                              ("max_sim_kept", pa.float64())]))
     t = pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
     return t.sort_by([("vec_id", "ascending")])
 
@@ -518,9 +524,9 @@ def _hll_partial(t: pa.Table) -> pa.Table:
 def q_approx_distinct_users(sf_dir: str) -> pa.Table:
     ds = rd.read_parquet(_p(sf_dir, "events"),
                          columns=["event_type", "user_id"])
-    merged = ds.map_batches(_hll_partial, batch_format="pyarrow") \
-        .groupby(["event_type", "register"]) \
-        .aggregate(Max("rank", alias_name="rank"))
+    merged = hash_groupby_multi(
+        ds.map_batches(_hll_partial, batch_format="pyarrow"),
+        ["event_type", "register"], [("rank", "max")])
     t = pa.Table.from_pandas(merged.to_pandas(), preserve_index=False)
     alpha = 0.7213 / (1.0 + 1.079 / HLL_M)
     out_types, out_est = [], []

@@ -21,6 +21,8 @@ import pyarrow.compute as pc
 import pyarrow.parquet as pq
 import ray
 import ray.data as rd
+
+from .functions.joins import hash_group_apply, hash_groupby_multi
 from ray.data.aggregate import Sum
 
 
@@ -75,7 +77,12 @@ def q_asof_join(sf_dir: str) -> pa.Table:
             "purchase_value": pa.array(val[is_p], pa.float64()),
             "last_click_value": pa.array(last, pa.float64())})
 
-    out = ds.groupby("user_id").map_groups(asof, batch_format="pyarrow")
+    out = hash_group_apply(
+        ds, ["user_id"], asof,
+        out_schema=pa.schema([("event_id", pa.int64()),
+                              ("user_id", pa.int64()),
+                              ("purchase_value", pa.float64()),
+                              ("last_click_value", pa.float64())]))
     t = pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
     return t.sort_by([("event_id", "ascending")])
 
@@ -156,7 +163,7 @@ def _tf_partial(t: pa.Table) -> pa.Table:
 def q_term_frequencies(sf_dir: str, k: int = 50) -> pa.Table:
     ds = rd.read_parquet(_p(sf_dir, "documents"), columns=["text"])
     partial = ds.map_batches(_tf_partial, batch_format="pyarrow")
-    agg = partial.groupby("token").aggregate(Sum("n", alias_name="n"))
+    agg = hash_groupby_multi(partial, "token", [("n", "sum")])
     top = agg.sort(["n", "token"], descending=[True, False]).limit(k)
     return pa.Table.from_pandas(top.to_pandas(), preserve_index=False)
 

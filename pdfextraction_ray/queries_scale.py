@@ -26,7 +26,8 @@ from ray.data.aggregate import Sum
 
 from .functions.bloom import (bloom_contains, bloom_from_dataset,
                               bloom_params)
-from .functions.joins import bucketed_join
+from .functions.joins import (bucketed_join, hash_group_apply,
+                              hash_groupby_multi)
 from .queries_curation import _roundf
 
 
@@ -94,10 +95,9 @@ def q_orders_bloom_semi_join(sf_dir: str) -> pa.Table:
             "total_price": pa.array(np.bincount(codes, weights=price,
                                                 minlength=len(uniq)))})
 
-    agg = verified.map_batches(agg_partial, batch_format="pyarrow") \
-        .groupby("o_orderpriority") \
-        .aggregate(Sum("n_orders", alias_name="n_orders"),
-                   Sum("total_price", alias_name="total_price"))
+    agg = hash_groupby_multi(
+        verified.map_batches(agg_partial, batch_format="pyarrow"),
+        "o_orderpriority", [("n_orders", "sum"), ("total_price", "sum")])
     t = pa.Table.from_pandas(agg.to_pandas(), preserve_index=False)
     t = _roundf(t, ["total_price"], 2)
     return t.sort_by([("o_orderpriority", "ascending")])
@@ -144,8 +144,15 @@ def q_domain_quota_sample(sf_dir: str) -> pa.Table:
         df = df.assign(rk=np.arange(1, len(df) + 1, dtype=np.int64))
         return df[["source", "rk", "doc_id"]]
 
-    out = ds.map_batches(partial, batch_format="pandas") \
-        .groupby("source").map_groups(final, batch_format="pandas")
+    def final_arrow(g: pa.Table) -> pa.Table:
+        return pa.Table.from_pandas(final(g.to_pandas()),
+                                    preserve_index=False)
+
+    out = hash_group_apply(
+        ds.map_batches(partial, batch_format="pandas"), ["source"],
+        final_arrow,
+        out_schema=pa.schema([("source", pa.string()), ("rk", pa.int64()),
+                              ("doc_id", pa.int64())]))
     t = pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
     return t.sort_by([("source", "ascending"), ("rk", "ascending")])
 
@@ -191,8 +198,9 @@ def q_split_assignment(sf_dir: str) -> pa.Table:
             "n": pa.array(np.bincount(codes, minlength=len(uniq))
                           .astype(np.int64))})
 
-    per_source = ds.map_batches(partial, batch_format="pyarrow") \
-        .groupby(["split", "source"]).aggregate(Sum("n", alias_name="n"))
+    per_source = hash_groupby_multi(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["split", "source"], [("n", "sum")])
     small = per_source.to_pandas()  # |sources| rows
     out = small.groupby("split", sort=True).agg(
         n_docs=("n", "sum"), n_sources=("source", "nunique")).reset_index()
@@ -338,10 +346,9 @@ def q_bucketed_storage_join(sf_dir: str) -> pa.Table:
                 "total_price": pa.array(
                     np.bincount(codes, weights=price, minlength=len(uniq)))})
 
-        agg = joined.map_batches(agg_partial, batch_format="pyarrow") \
-            .groupby("c_mktsegment") \
-            .aggregate(Sum("n_orders", alias_name="n_orders"),
-                       Sum("total_price", alias_name="total_price"))
+        agg = hash_groupby_multi(
+            joined.map_batches(agg_partial, batch_format="pyarrow"),
+            "c_mktsegment", [("n_orders", "sum"), ("total_price", "sum")])
         t = pa.Table.from_pandas(agg.to_pandas(), preserve_index=False)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
@@ -391,10 +398,11 @@ def q_storage_full_outer_join(sf_dir: str) -> pa.Table:
                 out_col: pa.array(np.bincount(
                     codes, minlength=len(uniq)).astype(np.int64))})
 
-        agg = rd.read_parquet(_p(sf_dir, "orders"),
-                              columns=["o_custkey", "o_orderstatus"]) \
-            .map_batches(partial, batch_format="pyarrow") \
-            .groupby("custkey").aggregate(Sum(out_col, alias_name=out_col))
+        agg = hash_groupby_multi(
+            rd.read_parquet(_p(sf_dir, "orders"),
+                            columns=["o_custkey", "o_orderstatus"])
+            .map_batches(partial, batch_format="pyarrow"),
+            "custkey", [(out_col, "sum")])
         # sort-shuffle aggregates can emit zero-column empty blocks, which
         # write_bucketed's key tagging cannot type — normalize them first
         return agg.map_batches(guard_empty(schema)(lambda t: t),

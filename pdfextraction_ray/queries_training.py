@@ -204,14 +204,19 @@ def q_funnel_stages(sf_dir: str) -> pa.Table:
                                 pa.int64()),
             "stage": pa.array([stage], pa.int64())})
 
-    per_user = kept.groupby("user_id").map_groups(stage_of,
-                                                  batch_format="pyarrow")
+    from .functions.joins import hash_group_apply
+    per_user = hash_group_apply(
+        kept, ["user_id"], stage_of,
+        out_schema=pa.schema([("user_id", pa.int64()),
+                              ("stage", pa.int64())]))
     stages = pa.Table.from_pandas(per_user.to_pandas(), preserve_index=False)
     # users with none of the three funnel event types never reach the
     # grouped matcher: count them as stage 0. Distinct-user count stays
     # distributed (groupby -> scalar count) — no |users|-sized driver list.
-    n_all_users = rd.read_parquet(_p(sf_dir, "events"), columns=["user_id"]) \
-        .groupby("user_id").count().count()
+    from .functions.joins import hash_groupby_table
+    n_all_users = hash_groupby_table(
+        rd.read_parquet(_p(sf_dir, "events"), columns=["user_id"]),
+        "user_id", [], count_col="n").count()
     vals, counts = np.unique(stages.column("stage").to_numpy(), return_counts=True)
     by_stage = dict(zip(vals.tolist(), counts.tolist()))
     by_stage[0] = by_stage.get(0, 0) + n_all_users - len(stages)
