@@ -1420,6 +1420,9 @@ _EMPTY_JACCARD = {"doc_a": pa.array([], pa.int64()),
                   "jaccard": pa.array([], pa.float64())}
 
 _MINHASHER: Optional[D.MinHasher] = None
+# worker-level shingle LRU for the minhash verify stage (see verify_group)
+_SHINGLE_CACHE: dict = {}
+_SHINGLE_CACHE_MAX = 8192
 
 
 def _minhash_task(t: pa.Table) -> pa.Table:
@@ -1498,12 +1501,21 @@ def minhash_verified_pairs_ds(ds: "rd.Dataset",
     def verify_group(g: pa.Table) -> pa.Table:
         ids = g["doc_id"].to_pylist()
         text_of = dict(zip(ids, g["text"].to_pylist()))
-        cache: dict[int, np.ndarray] = {}
+        # worker-process-level LRU, not per-group: a doc colliding in many
+        # of the 16 bands reaches this worker once per (band,bucket) group,
+        # and shingling (~0.2 ms/doc) dominates when recomputed per group.
+        # Keyed by the TEXT itself (string hash is ~50x cheaper than
+        # shingling) — doc_ids are not unique across corpora in one worker
+        cache = _SHINGLE_CACHE
 
         def sh(d: int) -> np.ndarray:
-            if d not in cache:
-                cache[d] = D._shingle_hashes(text_of[d])
-            return cache[d]
+            txt = text_of[d]
+            s = cache.get(txt)
+            if s is None:
+                while len(cache) >= _SHINGLE_CACHE_MAX:
+                    cache.pop(next(iter(cache)))
+                s = cache[txt] = D._shingle_hashes(txt)
+            return s
 
         if len(ids) * (len(ids) - 1) // 2 > 1000:
             import warnings
