@@ -121,15 +121,13 @@ def curate_chunks_packed(docs_ds: "Any", *, min_tokens: int = 50,
             t = t.filter(pc.equal(t["pred_lang"], pa.scalar(lang)))
         return t.select(["doc_id", "source", "text"])
 
-    winners_ds = docs_ds.map_batches(
-        lambda t: _score_pass(t, min_tokens, lang),
-        batch_format="pyarrow") \
-        .groupby("text_hash").min("doc_id") \
-        .map_batches(lambda t: pa.table(
-            {"doc_id": (t.column("min(doc_id)").cast(pa.int64())
-                        if "min(doc_id)" in t.schema.names
-                        else pa.array([], pa.int64()))}),
-            batch_format="pyarrow")
+    from ..functions.joins import hash_groupby_agg
+    winners_ds = hash_groupby_agg(
+        docs_ds.map_batches(lambda t: _score_pass(t, min_tokens, lang),
+                            batch_format="pyarrow"),
+        "text_hash", "doc_id", agg="min") \
+        .map_batches(lambda t: t.select(["doc_id"]),
+                     batch_format="pyarrow")
 
     kept = bucketed_join(
         docs_ds.map_batches(quality_only, batch_format="pyarrow"),
@@ -168,8 +166,20 @@ def curate_chunks_packed(docs_ds: "Any", *, min_tokens: int = 50,
     chunks = kept.map_batches(_assign_split, batch_format="pyarrow") \
         .map_batches(_chunk_batch, batch_format="pyarrow") \
         .map_batches(add_pack_bucket, batch_format="pyarrow")
-    return chunks.groupby(["split", "pack_bucket"]).map_groups(
-        _pack_group, batch_format="pyarrow")
+    # hash-shuffled group apply over the chunk stream (millions of rows —
+    # Ray's sort groupby runs ~100k rows/s on it); 3 splits x pack_buckets
+    # groups, each packed by one task
+    from ..functions.joins import hash_group_apply
+    return hash_group_apply(
+        chunks, ["split", "pack_bucket"], _pack_group,
+        n_buckets=min(32, 3 * pack_buckets),
+        out_schema=pa.schema([("doc_id", pa.int64()),
+                              ("chunk_id", pa.int64()),
+                              ("n_tokens", pa.int64()),
+                              ("chunk_text", pa.string()),
+                              ("split", pa.string()),
+                              ("pack_bucket", pa.int64()),
+                              ("seq_id", pa.int64())]))
 
 
 def _pages_to_docs(t: pa.Table) -> pa.Table:

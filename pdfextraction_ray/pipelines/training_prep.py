@@ -118,11 +118,12 @@ def training_prep(ds: "Any", out_dir: Optional[str] = None, *,
     # winner id set is n-sized (one per unique text), so it stays a DATASET
     # build side (BucketedBuildSide.from_dataset inside bucketed_join) —
     # the driver never holds it.
-    winners_ds = ds.map_batches(score, batch_format="pyarrow") \
-        .groupby("text_hash").min("doc_id") \
-        .map_batches(lambda t: pa.table(
-            {"doc_id": t.column("min(doc_id)").cast(pa.int64())}),
-            batch_format="pyarrow")
+    from ..functions.joins import hash_groupby_agg
+    winners_ds = hash_groupby_agg(
+        ds.map_batches(score, batch_format="pyarrow"),
+        "text_hash", "doc_id", agg="min") \
+        .map_batches(lambda t: t.select(["doc_id"]),
+                     batch_format="pyarrow")
 
     kept = bucketed_join(ds.map_batches(quality_only, batch_format="pyarrow"),
                          winners_ds, probe_key="doc_id", build_key="doc_id",
@@ -199,13 +200,13 @@ def training_prep_resumable(input_paths, out_dir: str, *,
 
     from ..functions.joins import KEY_BROADCAST_MAX, int_keys_membership
 
-    winners_ds = rd.read_parquet(list(input_paths),
-                                 columns=["doc_id", "text"]) \
-        .map_batches(score, batch_format="pyarrow") \
-        .groupby("text_hash").min("doc_id") \
-        .map_batches(lambda t: pa.table(
-            {"doc_id": t.column("min(doc_id)").cast(pa.int64())}),
-            batch_format="pyarrow")
+    from ..functions.joins import hash_groupby_agg
+    winners_ds = hash_groupby_agg(
+        rd.read_parquet(list(input_paths), columns=["doc_id", "text"])
+        .map_batches(score, batch_format="pyarrow"),
+        "text_hash", "doc_id", agg="min") \
+        .map_batches(lambda t: t.select(["doc_id"]),
+                     batch_format="pyarrow")
     # size-gated: sorted-u64 broadcast under the gate, distributed
     # bloom + bucketed exact verify above — the winner set is n-sized
     # (one id per unique text) and must not land whole on the driver
