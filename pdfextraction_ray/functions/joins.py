@@ -502,7 +502,10 @@ def hash_group_apply(ds, key_cols: Sequence[str], fn, *,
     hash reduce is an order of magnitude faster. ``fn`` must be a pure
     per-group pa.Table -> pa.Table function (same contract as
     map_groups with batch_format="pyarrow"). ``out_schema`` types the
-    empty result; groups land whole in exactly one bucket.
+    empty result; groups land whole in exactly one bucket. Null keys are
+    NOT supported here (the exact group-boundary comparison is
+    NaN-poisoned) — filter them first; the aggregate forms
+    (``hash_groupby_*``) group nulls together per pyarrow semantics.
 
     ``ds`` is materialized (the map side needs block refs). Bucket sizing:
     rows/n_buckets must fit a worker heap, same rule as

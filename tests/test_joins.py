@@ -276,3 +276,26 @@ def test_hash_group_apply_matches_map_groups(ray_session):
     out = hash_group_apply(ds, ["a", "b"], nothing, n_buckets=4,
                            out_schema=schema)
     assert out.count() == 0
+
+
+def test_hash_groupby_null_keys_match_ray(ray_session):
+    """Null keys: the agg path groups all nulls together (pyarrow group_by
+    semantics), matching Ray's groupby. Pinned so the operators' null
+    contract is explicit — hash_group_apply does NOT support null keys
+    (exact boundary comparison is NaN-poisoned) and callers must filter."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from pdfextraction_ray.functions.joins import hash_groupby_multi
+
+    t = pa.table({"k": pa.array([1, None, 2, None, 1], pa.int64()),
+                  "n": pa.array([10, 1, 20, 2, 30], pa.int64())})
+    ds = rd.from_arrow(t).repartition(3)
+    got = hash_groupby_multi(ds, "k", [("n", "sum")]).to_pandas() \
+        .sort_values("k", na_position="last").reset_index(drop=True)
+    want = ds.groupby("k").sum("n").to_pandas() \
+        .rename(columns={"sum(n)": "n"}) \
+        .sort_values("k", na_position="last").reset_index(drop=True)
+    assert got.k.tolist()[:2] == want.k.tolist()[:2] == [1.0, 2.0]
+    assert got.n.tolist() == want.n.tolist() == [40, 20, 3]
