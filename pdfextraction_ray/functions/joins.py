@@ -354,7 +354,9 @@ def _agg_reduce_bucket(key_cols, aggs, min_total, schema,
     if min_total is not None:
         acc = acc.filter(pc.greater_equal(acc.column(val_cols[0]),
                                           pa.scalar(min_total)))
-    return acc.combine_chunks()
+    # strip schema metadata: pandas-origin metadata dicts make Ray's
+    # schema-dedup hash fail noisily when these blocks re-enter a Dataset
+    return acc.combine_chunks().replace_schema_metadata(None)
 
 
 def hash_groupby_multi(ds, key_cols, aggs, *,
@@ -484,7 +486,8 @@ def _apply_groups_bucket(key_cols, fn, schema, *pieces: pa.Table):
             outs.append(r)
     if not outs:
         return schema.empty_table() if schema is not None else pa.table({})
-    return pa.concat_tables(outs).combine_chunks()
+    return pa.concat_tables(outs).combine_chunks() \
+        .replace_schema_metadata(None)
 
 
 def hash_group_apply(ds, key_cols: Sequence[str], fn, *,

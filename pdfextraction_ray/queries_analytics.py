@@ -20,8 +20,6 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray
 import ray.data as rd
-from ray.data.aggregate import Sum
-
 from .functions.joins import (hash_group_apply, hash_groupby_agg,
                               hash_groupby_multi)
 

@@ -23,7 +23,6 @@ import ray
 import ray.data as rd
 
 from .functions.joins import hash_group_apply, hash_groupby_multi
-from ray.data.aggregate import Sum
 
 
 def _p(sf_dir: str, table: str) -> str:

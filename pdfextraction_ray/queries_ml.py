@@ -19,7 +19,6 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray
 import ray.data as rd
-from ray.data.aggregate import Sum
 
 from .functions.joins import bucketed_join
 from .queries_curation import _flatten_tokens, _roundf, guard_empty

@@ -22,7 +22,6 @@ import pyarrow.parquet as pq
 import pyarrow.compute as pc
 import ray
 import ray.data as rd
-from ray.data.aggregate import Sum
 
 from .functions.bloom import (bloom_contains, bloom_from_dataset,
                               bloom_params)
