@@ -137,6 +137,12 @@ def curate_chunks_packed(docs_ds: "Any", *, min_tokens: int = 50,
         kept = kept.materialize()
 
     if near_dup:
+        # NEGATIVE RESULT (r5): precomputing the LSH band keys into the
+        # checkpoint to skip the near-dup stage's second signature pass
+        # measured NEUTRAL-to-worse — the signature math is only ~1.7 s of
+        # spread CPU at 200k docs, below the noise of the extra map stage
+        # (minhash_verified_pairs_ds still honors a precomputed ``bands``
+        # column for callers that already carry one)
         drop_member = near_dup_drop_membership(
             kept.select_columns(["doc_id", "text"]))
         if drop_member is not None:

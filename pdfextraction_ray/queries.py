@@ -1461,7 +1461,14 @@ def minhash_verified_pairs_ds(ds: "rd.Dataset",
 
     Replaces the round-1 driver-side verify (full-table ``pq.read_table`` +
     pandas pair loop) flagged in VERDICT.md."""
-    hashed = ds.map_batches(_minhash_task, batch_format="pyarrow",
+    # a precomputed ``bands`` column (e.g. attached once at the e2e
+    # pipeline's checkpoint materialize) skips the per-doc signature math
+    # in BOTH passes below — the signatures are deterministic, so either
+    # path yields identical candidates
+    def _ensure_bands(t: pa.Table) -> pa.Table:
+        return t if "bands" in t.schema.names else _minhash_task(t)
+
+    hashed = ds.map_batches(_ensure_bands, batch_format="pyarrow",
                             batch_size=128)
     exploded = hashed.map_batches(
         lambda t: D.explode_bands(t.select(["doc_id", "bands"])),
@@ -1475,7 +1482,7 @@ def minhash_verified_pairs_ds(ds: "rd.Dataset",
         — vectorized band explode (``list_value_length`` + ``np.repeat``,
         the ``gen_edges`` idiom from queries_web.py) instead of a per-row
         Python append loop."""
-        hashed = _minhash_task(t)
+        hashed = _ensure_bands(t)
         bands = hashed.column("bands").combine_chunks()
         lens = pc.list_value_length(bands).to_numpy(
             zero_copy_only=False).astype(np.int64)
