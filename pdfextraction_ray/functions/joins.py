@@ -373,7 +373,15 @@ def hash_groupby_multi(ds, key_cols, aggs, *,
     aggs = [tuple(a) for a in aggs]
     val_cols = [c for c, _ in aggs]
     ds = ds.select_columns(key_cols + val_cols).materialize()
-    base = ds.schema().base_schema
+    sch = ds.schema()
+    if sch is None:
+        # a fully-empty dataset can lose its schema through select/
+        # materialize; with nothing to aggregate, an empty dataset is the
+        # exact answer (callers needing typed emptiness should guard on
+        # count() first)
+        import ray.data as rd
+        return rd.from_items([])
+    base = sch.base_schema
     schema = pa.schema([(c, base.field(c).type) for c in key_cols]
                        + [(c, base.field(c).type) for c in val_cols])
     n_rows = ds.count()

@@ -65,18 +65,21 @@ def near_dup_drop_membership(docs_ds: "Any",
     pairs = minhash_verified_pairs_ds(docs_ds)
     if pairs is None:
         return None
+    pairs = pairs.materialize()  # result-sized
+    if pairs.count() == 0:
+        return None
 
     def drop_ids(t: pa.Table) -> pa.Table:
         if t.num_rows == 0 or "doc_b" not in t.schema.names:
             return pa.table({"doc_id": pa.array([], pa.int64())})
         return pa.table({"doc_id": t.column("doc_b").cast(pa.int64())})
 
-    dropped = pairs.map_batches(drop_ids, batch_format="pyarrow") \
-        .groupby("doc_id").count() \
-        .map_batches(lambda t: (
-            pa.table({"doc_id": pa.array([], pa.int64())})
-            if t.num_rows == 0 or "doc_id" not in t.schema.names
-            else t.select(["doc_id"])), batch_format="pyarrow")
+    from ..functions.joins import hash_groupby_table
+    dropped = hash_groupby_table(
+        pairs.map_batches(drop_ids, batch_format="pyarrow"),
+        "doc_id", [], count_col="n") \
+        .map_batches(lambda t: t.select(["doc_id"]),
+                     batch_format="pyarrow")
     return int_keys_membership(dropped, "doc_id",
                                broadcast_max=broadcast_max)
 

@@ -1252,8 +1252,9 @@ def q_orders_customer_join(sf_dir: str) -> pa.Table:
         num_partitions=_join_num_partitions(_p(sf_dir, "orders"),
                                             _p(sf_dir, "customer")),
         on=("o_custkey",), right_on=("c_custkey",))
-    agg = joined.groupby("c_mktsegment").aggregate(
-        Count(alias_name="n_orders"), Sum("o_totalprice", alias_name="sum_totalprice"))
+    agg = _grouped_rollup(joined, "c_mktsegment",
+                          [("count", "n_orders"),
+                           ("sum", "o_totalprice", "sum_totalprice")])
     t = pa.Table.from_pandas(agg.to_pandas(), preserve_index=False)
     return _round4(t, ["sum_totalprice"]).sort_by("c_mktsegment")
 
@@ -1286,8 +1287,8 @@ def q_brand_revenue_bucketed(sf_dir: str) -> pa.Table:
     joined = bucketed_join(line, part, probe_key="l_partkey",
                            build_key="p_partkey", join_type="inner",
                            n_buckets=16)
-    agg = joined.groupby("p_brand").aggregate(
-        Count(alias_name="n_items"), Sum("revenue", alias_name="revenue"))
+    agg = _grouped_rollup(joined, "p_brand",
+                          [("count", "n_items"), ("sum", "revenue", "revenue")])
     t = pa.Table.from_pandas(agg.to_pandas(), preserve_index=False)
     return _round4(t, ["revenue"]).sort_by("p_brand")
 

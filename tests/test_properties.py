@@ -330,3 +330,38 @@ def test_greedy_semantic_prune_invariants(vecs, tau):
                                             ids[perm], tau)
     assert (keep2 == keep[perm]).all()
     assert (max_sim2 == max_sim[perm]).all()
+
+
+# -- hash-shuffle operators (functions/joins) --------------------------------
+
+_kv_tables = st.lists(
+    st.tuples(st.integers(-5, 5), st.integers(-3, 3),
+              st.integers(-100, 100)),
+    min_size=0, max_size=60)
+
+
+@given(_kv_tables, st.sampled_from(["sum", "min", "max"]),
+       st.integers(1, 5))
+@settings(max_examples=15, deadline=None)
+def test_hash_groupby_multi_matches_pandas(rows, agg, n_buckets):
+    """Property: hash_groupby_multi == pandas groupby for any (k1,k2,v)
+    table, any associative agg, any bucket count (incl. 1)."""
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from pdfextraction_ray.functions.joins import hash_groupby_multi
+
+    df = pd.DataFrame(rows, columns=["k1", "k2", "v"]).astype("int64")
+    ds = rd.from_arrow(pa.Table.from_pandas(df, preserve_index=False)) \
+        .repartition(3)
+    got = hash_groupby_multi(ds, ["k1", "k2"], [("v", agg)],
+                             n_buckets=n_buckets).to_pandas()
+    if len(df) == 0:
+        assert len(got) == 0
+        return
+    got = got.sort_values(["k1", "k2"]).reset_index(drop=True)
+    want = df.groupby(["k1", "k2"], as_index=False).agg({"v": agg}) \
+        .sort_values(["k1", "k2"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got.astype("int64"),
+                                  want.astype("int64"))
