@@ -525,11 +525,13 @@ def hash_group_apply(ds, key_cols: Sequence[str], fn, *,
 
     ds = ds.materialize()
     in_schema = ds.schema().base_schema
+    if out_schema is None:
+        # the right default for row-subset group fns (top-1 per group,
+        # latest-wins, greedy keep): fn output schema == input schema
+        out_schema = in_schema
     block_refs = ds.to_arrow_refs()
     if not block_refs:
-        return rd.from_arrow(out_schema.empty_table()
-                             if out_schema is not None
-                             else in_schema.empty_table())
+        return rd.from_arrow(out_schema.empty_table())
     outs = []
     for r in block_refs:
         out = _split_block_by_composite.options(

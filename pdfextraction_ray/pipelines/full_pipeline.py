@@ -35,7 +35,8 @@ def dedup_latest_by_url(ds: "Any") -> "Any":
             g, sort_keys=[("warc_ts", "descending"), ("bytes_out", "descending")])
         return g.take(idx[:1])
 
-    return ds.groupby("url").map_groups(latest, batch_format="pyarrow")
+    from ..functions.joins import hash_group_apply
+    return hash_group_apply(ds, ["url"], latest)
 
 
 def run_full_pipeline(paths: Union[str, list[str]], out_dir: str, *,

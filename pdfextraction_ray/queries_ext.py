@@ -124,7 +124,12 @@ def q_user_activity_features(sf_dir: str) -> pa.Table:
             "n_pos_delta": pa.array([int((d > 0).sum())], pa.int64()),
             "max_runsum": rs_max})
 
-    out = ds.groupby("user_id").map_groups(feats, batch_format="pyarrow")
+    out = hash_group_apply(
+        ds, ["user_id"], feats,
+        out_schema=pa.schema([("user_id", pa.int64()),
+                              ("n_events", pa.int64()),
+                              ("n_pos_delta", pa.int64()),
+                              ("max_runsum", pa.float32())]))
     t = pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
     return t.sort_by([("user_id", "ascending")])
 

@@ -1209,11 +1209,12 @@ def q_mean_embedding_by_label(sf_dir: str) -> pa.Table:
             "s": pa.array(sums.ravel(), pa.float64()),
             "n": pa.array(np.repeat(counts, dim), pa.int64())})
 
-    agg = ds.map_batches(partial, batch_format="pyarrow") \
-        .groupby("label").map_groups(
-            lambda g: g.group_by(["label", "dim"]).aggregate(
-                [("s", "sum"), ("n", "sum")]),
-            batch_format="pyarrow")
+    from .functions.joins import hash_groupby_multi
+    agg = hash_groupby_multi(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["label", "dim"], [("s", "sum"), ("n", "sum")]) \
+        .map_batches(lambda t: t.rename_columns(
+            ["label", "dim", "s_sum", "n_sum"]), batch_format="pyarrow")
     t = pa.Table.from_pandas(agg.to_pandas(), preserve_index=False)
     mean = pc.round(
         pa.array(t.column("s_sum").to_numpy(zero_copy_only=False)
@@ -1440,13 +1441,10 @@ def q_orders_rollup(sf_dir: str) -> pa.Table:
         return g.select(["prio", "yr", "rev_sum", "rev_count"]) \
             .rename_columns(["prio", "yr", "rev", "n"])
 
-    detail_ds = ds.map_batches(partial, batch_format="pyarrow") \
-        .groupby("prio").map_groups(
-            lambda g: g.group_by(["prio", "yr"]).aggregate(
-                [("rev", "sum"), ("n", "sum")])
-            .select(["prio", "yr", "rev_sum", "n_sum"])
-            .rename_columns(["prio", "yr", "rev", "n"]),
-            batch_format="pyarrow")
+    from .functions.joins import hash_groupby_multi
+    detail_ds = hash_groupby_multi(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["prio", "yr"], [("rev", "sum"), ("n", "sum")])
     d = pa.Table.from_pandas(detail_ds.to_pandas(), preserve_index=False) \
         .sort_by([("prio", "ascending"), ("yr", "ascending")])
 
@@ -1524,8 +1522,11 @@ def q_docs_by_lang_sample(sf_dir: str, k: int = 5) -> pa.Table:
             "lang": pa.array([g.column("lang")[0].as_py()], pa.string()),
             "doc_ids": pa.array([",".join(str(i) for i in ids)], pa.string())})
 
-    out = ds.map_batches(partial, batch_format="pyarrow") \
-        .groupby("lang").map_groups(merge, batch_format="pyarrow")
+    from .functions.joins import hash_group_apply
+    out = hash_group_apply(
+        ds.map_batches(partial, batch_format="pyarrow"), ["lang"], merge,
+        out_schema=pa.schema([("lang", pa.string()),
+                              ("doc_ids", pa.string())]))
     t = pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
     return t.sort_by([("lang", "ascending")])
 
