@@ -249,7 +249,21 @@ def bucketed_join(probe_ds, build_table, *, probe_key: str,
                                    build_table.num_rows // 25_000 + 1)))
         side = BucketedBuildSide(build_table, build_key, n_buckets)
     else:
-        build_schema = build_table.schema().base_schema
+        _sch = build_table.schema()
+        if _sch is None:
+            # a fully-empty build dataset can lose its schema (e.g. the
+            # winner set of an empty corpus): inner-join semantics are
+            # exact without it — nothing matches
+            if join_type == "inner":
+                return probe_ds.map_batches(lambda t: t.slice(0, 0),
+                                            batch_format="pyarrow")
+            if not value_cols:
+                return probe_ds
+            raise ValueError(
+                "bucketed_join: left join against a schema-less empty "
+                "build side cannot type its value columns — pass a typed "
+                "empty dataset")
+        build_schema = _sch.base_schema
         build_table = build_table.materialize()
         n_buckets = int(max(1, min(n_buckets,
                                    build_table.count() // 25_000 + 1)))
@@ -524,7 +538,12 @@ def hash_group_apply(ds, key_cols: Sequence[str], fn, *,
     import ray.data as rd
 
     ds = ds.materialize()
-    in_schema = ds.schema().base_schema
+    _sch = ds.schema()
+    if _sch is None:
+        # fully-empty input that lost its schema: nothing to group
+        return (rd.from_arrow(out_schema.empty_table())
+                if out_schema is not None else rd.from_items([]))
+    in_schema = _sch.base_schema
     if out_schema is None:
         # the right default for row-subset group fns (top-1 per group,
         # latest-wins, greedy keep): fn output schema == input schema

@@ -118,3 +118,46 @@ def test_curation_pages_path_and_no_big_driver_puts(ray_session, tmp_path):
     assert set(t.split.unique()) <= {"train", "val", "test"}
     # doc ids are 64-bit url hashes — all within a split deterministic
     assert t.doc_id.dtype == np.int64
+
+
+def test_curate_degenerate_corpora(ray_session):
+    """Empty corpus and all-identical corpus both produce sane output:
+    empty in -> empty out; N copies of one text -> exactly one doc's
+    chunks survive."""
+    import ray.data as rd
+
+    from pdfextraction_ray.pipelines.e2e import curate_chunks_packed
+
+    schema_cols = {"doc_id": pa.array([], pa.int64()),
+                   "source": pa.array([], pa.string()),
+                   "text": pa.array([], pa.string())}
+    empty = curate_chunks_packed(rd.from_arrow(pa.table(schema_cols)))
+    assert empty.count() == 0
+
+    text = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            * 12).strip()
+    docs = pa.table({
+        "doc_id": pa.array(list(range(6)), pa.int64()),
+        "source": pa.array(["https://a.com/x"] * 6),
+        "text": pa.array([text] * 6)})
+    out = curate_chunks_packed(rd.from_arrow(docs)).materialize().to_pandas()
+    assert set(out.doc_id.unique()) == {0}  # min-id winner only
+
+
+def test_curate_checkpoint_false_equals_true(ray_session):
+    """The lazy lineage-re-execution form returns exactly the checkpointed
+    form's chunks."""
+    import pandas as pd
+    import ray.data as rd
+
+    from pdfextraction_ray.pipelines.e2e import curate_chunks_packed
+
+    docs = rd.read_parquet(f"{SF}/documents.parquet",
+                           columns=["doc_id", "source", "text"])
+    a = curate_chunks_packed(docs, checkpoint=True).materialize() \
+        .to_pandas().sort_values(["doc_id", "chunk_id"]) \
+        .reset_index(drop=True)
+    b = curate_chunks_packed(docs, checkpoint=False).materialize() \
+        .to_pandas().sort_values(["doc_id", "chunk_id"]) \
+        .reset_index(drop=True)
+    pd.testing.assert_frame_equal(a[sorted(a.columns)], b[sorted(b.columns)])
