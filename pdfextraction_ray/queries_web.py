@@ -1270,9 +1270,10 @@ def q_triangle_count(sf_dir: str) -> pa.Table:
 
     # batch-level dedup above is not global: dedup once via groupby,
     # KEEPING the edge set distributed (it is the join build side below)
-    edges_d = edges.groupby("a").map_groups(
-        lambda g: g.group_by(["a", "b"]).aggregate([]),
-        batch_format="pyarrow").materialize()
+    from .functions.joins import hash_group_apply, hash_groupby_table
+    edges_d = hash_groupby_table(edges, ["a", "b"], [], count_col="_n") \
+        .map_batches(lambda t: t.select(["a", "b"]),
+                     batch_format="pyarrow").materialize()
 
     def gen_wedges(g: pa.Table) -> pa.Table:
         # g holds every edge (mid, c) with mid = this group's 'a': its
@@ -1291,8 +1292,9 @@ def q_triangle_count(sf_dir: str) -> pa.Table:
     # smallest vertex of each edge, so grouping by a pairs a's higher
     # neighbors: wedge (a; c1<c2) + edge (c1,c2) closes triangle a<c1<c2,
     # counting each triangle exactly once at its minimum vertex.
-    wedges = edges_d.groupby("a").map_groups(gen_wedges,
-                                             batch_format="pyarrow")
+    wedges = hash_group_apply(
+        edges_d, ["a"], gen_wedges,
+        out_schema=pa.schema([("wk", pa.int64())]))
     closed = bucketed_join(
         wedges, edges_d.map_batches(edge_keys, batch_format="pyarrow"),
         probe_key="wk", build_key="ek", value_cols=[],

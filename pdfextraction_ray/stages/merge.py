@@ -188,4 +188,6 @@ def clean_final_view(batch: pa.Table) -> pa.Table:
 def merge_pages_by_url(ds: "Any") -> "Any":
     """Dataset-level merge: one output row per url. This is the one wide
     (all-to-all) stage of the flagship pipeline; key = url."""
-    return ds.groupby("url").map_groups(merge_url_group, batch_format="pyarrow")
+    from ..functions.joins import hash_group_apply
+    return hash_group_apply(ds, ["url"], merge_url_group,
+                            out_schema=CLEAN_SCHEMA)
