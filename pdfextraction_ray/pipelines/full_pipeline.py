@@ -98,10 +98,12 @@ def run_full_pipeline(paths: Union[str, list[str]], out_dir: str, *,
             return merge_url_group(
                 g.select(["url", "page_number", "parse_ok", "fields", "tables"]))
 
-        merged = (parsed.select_columns(["url", "warc_ts", "bytes_out",
-                                         "parse_ok", "fields", "tables"])
-                  .groupby("url")
-                  .map_groups(paginate_and_merge, batch_format="pyarrow"))
+        from ..functions.joins import hash_group_apply
+        from ..stages.merge import CLEAN_SCHEMA
+        merged = hash_group_apply(
+            parsed.select_columns(["url", "warc_ts", "bytes_out",
+                                   "parse_ok", "fields", "tables"]),
+            ["url"], paginate_and_merge, out_schema=CLEAN_SCHEMA)
         merged.write_parquet(out_dir)
         if not glob.glob(os.path.join(out_dir, "*.parquet")):
             return {"written_rows": 0, "domains": None}

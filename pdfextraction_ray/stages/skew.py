@@ -18,7 +18,6 @@ from typing import Any
 
 import pyarrow as pa
 import pyarrow.compute as pc
-from ray.data.aggregate import Count, Sum
 
 
 def domain_of(url: str) -> str:
@@ -69,8 +68,12 @@ def domain_histogram(ds: "Any", *, n_salts: int = 16,
         lambda t: add_domain_and_salt(t, n_salts).select(
             ["domain", "domain_salt", bytes_col]),
         batch_format="pyarrow")
-    partial = narrow.groupby(["domain", "domain_salt"]).aggregate(
-        Count(alias_name="n_docs"), Sum(bytes_col, alias_name="total_bytes"))
-    return partial.groupby("domain").aggregate(
-        Sum("n_docs", alias_name="n_docs"),
-        Sum("total_bytes", alias_name="total_bytes"))
+    from ..functions.joins import hash_groupby_multi, hash_groupby_table
+    partial = hash_groupby_table(
+        narrow, ["domain", "domain_salt"], [(bytes_col, "sum")],
+        count_col="n_docs") \
+        .map_batches(lambda t: t.rename_columns(
+            ["domain", "domain_salt", "total_bytes", "n_docs"]),
+            batch_format="pyarrow")
+    return hash_groupby_multi(partial, "domain",
+                              [("n_docs", "sum"), ("total_bytes", "sum")])
