@@ -365,3 +365,43 @@ def test_hash_groupby_multi_matches_pandas(rows, agg, n_buckets):
         .sort_values(["k1", "k2"]).reset_index(drop=True)
     pd.testing.assert_frame_equal(got.astype("int64"),
                                   want.astype("int64"))
+
+
+@given(_kv_tables, st.integers(1, 4))
+@settings(max_examples=10, deadline=None)
+def test_hash_group_apply_matches_pandas(rows, n_buckets):
+    """Property: hash_group_apply(fn) == pandas per-group apply for any
+    (k1,k2,v) table and bucket count — groups land whole, boundaries are
+    exact even when adjacent keys hash-collide."""
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from pdfextraction_ray.functions.joins import hash_group_apply
+
+    df = pd.DataFrame(rows, columns=["k1", "k2", "v"]).astype("int64")
+    ds = rd.from_arrow(pa.Table.from_pandas(df, preserve_index=False)) \
+        .repartition(2)
+
+    def summ(g: pa.Table) -> pa.Table:
+        import numpy as np
+        v = g.column("v").to_numpy(zero_copy_only=False)
+        return pa.table({"k1": g.column("k1").slice(0, 1),
+                         "k2": g.column("k2").slice(0, 1),
+                         "lo": pa.array([int(v.min())], pa.int64()),
+                         "hi": pa.array([int(v.max())], pa.int64()),
+                         "n": pa.array([len(v)], pa.int64())})
+
+    schema = pa.schema([("k1", pa.int64()), ("k2", pa.int64()),
+                        ("lo", pa.int64()), ("hi", pa.int64()),
+                        ("n", pa.int64())])
+    got = hash_group_apply(ds, ["k1", "k2"], summ, n_buckets=n_buckets,
+                           out_schema=schema).to_pandas()
+    if len(df) == 0:
+        assert len(got) == 0
+        return
+    got = got.sort_values(["k1", "k2"]).reset_index(drop=True)
+    want = df.groupby(["k1", "k2"], as_index=False) \
+        .agg(lo=("v", "min"), hi=("v", "max"), n=("v", "size")) \
+        .sort_values(["k1", "k2"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got.astype("int64"), want.astype("int64"))
